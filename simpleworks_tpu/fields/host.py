@@ -154,9 +154,11 @@ class Fp:
         """arkworks ``ToBytes``: full limb bytes (repr_bits/8 bytes, LE)."""
         return self.value.to_bytes(self.PARAMS.repr_bits // 8, "little")
 
-    def serialize_with_flags(self, flags: int, flag_bits: int = 8) -> bytes:
-        """CanonicalSerialize with flags packed into the top bits of an
-        extra byte if they don't fit in the modulus byte-size spare bits."""
+    def serialize_with_flags(self, flags: int, flag_bits: int = 1) -> bytes:
+        """CanonicalSerialize with ``flag_bits`` flag bits packed into the
+        top of the final byte (an extra byte is appended only when the spare
+        bits of the modulus byte-size don't fit them — arkworks semantics).
+        ``flags`` is the final-byte OR-mask (e.g. 0x80 for a 1-bit flag)."""
         params = self.PARAMS
         output_bits = params.byte_size * 8
         if output_bits - params.modulus_bits < flag_bits:
