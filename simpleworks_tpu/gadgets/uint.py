@@ -259,6 +259,37 @@ class UIntGadget:
             )
         return UIntGadget.from_bits_le(self.width, sum_bits)
 
+    @staticmethod
+    def addmany(operands: list["UIntGadget"], cs: ConstraintSystem) -> "UIntGadget":
+        """Wrapping modular sum of several operands via one field-arithmetic
+        constraint (the ark-r1cs-std ``addmany`` approach, used by the
+        reference's uint16/32/64/128 ``add`` and the Blake2s gadget):
+        Σ operands == Σ result_bit_i·2^i + Σ carry_j·2^(w+j)."""
+        assert operands
+        w = operands[0].width
+        assert all(op.width == w for op in operands)
+        total = sum(op._value for op in operands)
+        result_val = total & ((1 << w) - 1)
+        carry_val = total >> w
+        n_carry_bits = max(1, (len(operands) - 1).bit_length())
+        result = UIntGadget.new_witness(cs, w, result_val)
+        carry_bits = [
+            Boolean.new_witness(cs, (carry_val >> j) & 1 == 1)
+            for j in range(n_carry_bits)
+        ]
+        p = cs.field.PARAMS.modulus
+        lhs = cs.lc()
+        for op in operands:
+            for i, bit in enumerate(op.bits):
+                lhs = lhs + bit.lc() * pow(2, i, p)
+        rhs = cs.lc()
+        for i, bit in enumerate(result.bits):
+            rhs = rhs + bit.lc() * pow(2, i, p)
+        for j, bit in enumerate(carry_bits):
+            rhs = rhs + bit.lc() * pow(2, w + j, p)
+        cs.enforce_constraint(lhs - rhs, cs.lc((1, ONE)), cs.lc())
+        return result
+
     def sub(self, subtrahend: "UIntGadget") -> "UIntGadget":
         """Complement-add-complement with native underflow check
         (reference uint8.rs:273-299)."""
