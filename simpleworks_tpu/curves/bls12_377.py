@@ -241,6 +241,46 @@ class G2Point:
     def scalar_mul(self, k: int) -> "G2Point":
         return self.scalar_mul_unreduced(int(k) % R)
 
+    # -- serde: x (two Fq limbs LE) with y-sign + infinity flags ---------------
+
+    def serialize_compressed(self) -> bytes:
+        from ..fields.bls12_377 import Fq
+
+        if self.is_identity():
+            out = bytearray(Fq(0).serialize() + Fq(0).serialize())
+            out[-1] |= 0x40
+            return bytes(out)
+        x, y = self.to_affine()
+        # y "greatest" by lexicographic (c1, c0) comparison
+        ny = -y
+        y_is_greatest = (y.c1, y.c0) > (ny.c1, ny.c0)
+        out = bytearray(Fq(x.c0).serialize() + Fq(x.c1).serialize())
+        if y_is_greatest:
+            out[-1] |= 0x80
+        return bytes(out)
+
+    @staticmethod
+    def deserialize_compressed(data: bytes) -> "G2Point":
+        from ..fields.bls12_377 import Fq
+
+        size = Fq.PARAMS.byte_size
+        buf = bytearray(data[: 2 * size])
+        flags = buf[-1] & 0xC0
+        buf[-1] &= 0x3F
+        if flags & 0x40:
+            return G2Point.identity()
+        c0 = int.from_bytes(bytes(buf[:size]), "little")
+        c1 = int.from_bytes(bytes(buf[size:]), "little")
+        x = Fq2(c0, c1)
+        y2 = x * x * x + G2_B
+        y = y2.sqrt()
+        if y is None:
+            raise ValueError("invalid G2 compressed point")
+        ny = -y
+        greatest = y if (y.c1, y.c0) > (ny.c1, ny.c0) else ny
+        smallest = ny if greatest == y else y
+        return G2Point(x, greatest if flags & 0x80 else smallest)
+
     @staticmethod
     @lru_cache(maxsize=None)
     def generator() -> "G2Point":

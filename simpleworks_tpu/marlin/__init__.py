@@ -1,0 +1,273 @@
+"""Marlin proof-system facade (L4; reference ``src/marlin/mod.rs``).
+
+API surface mirrors the reference wrapper, including the fork-only
+"from constraint system" entry points (``src/marlin/mod.rs:70-94``):
+
+* ``generate_rand()`` — the deterministic test RNG
+* ``universal_setup(nc, nv, nnz, rng)`` / ``generate_universal_srs``
+* ``index(srs, cs)`` / ``generate_proving_and_verifying_keys``
+* ``prove(pk, cs, rng)`` / ``generate_proof``
+* ``verify(vk, public_inputs, proof, rng)`` / ``verify_proof``
+
+The proof is a 3-round Marlin AHP over KZG10 with degree bounds
+(:mod:`simpleworks_tpu.marlin.ahp`, :mod:`simpleworks_tpu.kzg.kzg10`),
+Fiat-Shamir via Blake2s+ChaCha20.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from ..curves.bls12_377 import G1Point, G2Point
+from ..fields.bls12_377 import Fr, FR_MODULUS
+from ..hash.blake2s import blake2s_digest
+from ..kzg import kzg10
+from ..kzg.kzg10 import Commitment, UniversalSRS
+from ..poly.dense import DensePoly
+from ..utils.rng import test_rng
+from . import ahp
+from .fiat_shamir import FiatShamirRng
+
+P = FR_MODULUS
+
+PROTOCOL_NAME = b"SIMPLEWORKS-TPU-MARLIN-2026"
+
+#: canonical query orderings shared by prover and verifier
+BETA_POLYS = ["w", "z_a", "z_b", "t", "g_1", "h_1"]
+GAMMA_POLYS = [
+    "g_2", "h_2",
+    "row_a", "col_a", "val_a",
+    "row_b", "col_b", "val_b",
+    "row_c", "col_c", "val_c",
+]
+INDEX_POLYS = GAMMA_POLYS[2:]
+
+
+@dataclass
+class IndexVerifierKey:
+    info: ahp.IndexInfo
+    index_commitments: dict[str, Commitment]
+    g: G1Point
+    h: G2Point
+    beta_h: G2Point
+    srs_max_degree: int
+
+    def digest(self) -> bytes:
+        data = b"".join(
+            self.index_commitments[name].serialize() for name in INDEX_POLYS
+        )
+        meta = (
+            self.info.domain_h_size.to_bytes(8, "little")
+            + self.info.domain_k_size.to_bytes(8, "little")
+            + self.info.num_instance_padded.to_bytes(8, "little")
+            + self.srs_max_degree.to_bytes(8, "little")
+        )
+        return blake2s_digest(data + meta)
+
+
+@dataclass
+class IndexProverKey:
+    index: ahp.Index
+    srs: UniversalSRS
+    vk: IndexVerifierKey
+
+
+@dataclass
+class MarlinProof:
+    commitments: dict[str, Commitment]
+    evaluations: dict[str, int]
+    pc_proof_beta: G1Point
+    pc_proof_gamma: G1Point
+
+
+def generate_rand():
+    """reference src/marlin/mod.rs:33-35."""
+    return test_rng()
+
+
+def universal_setup(num_constraints: int, num_variables: int, num_non_zero: int, rng) -> UniversalSRS:
+    max_degree = ahp.max_degree_for(num_constraints, num_variables, num_non_zero)
+    return kzg10.setup(max_degree, rng)
+
+
+# reference alias (src/marlin/mod.rs:45-55)
+def generate_universal_srs(num_constraints, num_variables, num_non_zero, rng):
+    return universal_setup(num_constraints, num_variables, num_non_zero, rng)
+
+
+def index(srs: UniversalSRS, cs) -> tuple[IndexProverKey, IndexVerifierKey]:
+    """Arithmetize + commit the index polynomials
+    (reference MarlinInst::index / index_from_constraint_system)."""
+    idx = ahp.index_matrices(cs)
+    if idx.info.max_degree > srs.max_degree:
+        raise ValueError(
+            f"circuit too large for SRS: needs degree {idx.info.max_degree}, "
+            f"SRS has {srs.max_degree}"
+        )
+    commitments: dict[str, Commitment] = {}
+    for mat, name in zip(idx.matrices, ["a", "b", "c"]):
+        commitments[f"row_{name}"] = kzg10.commit(srs, mat.row_poly)
+        commitments[f"col_{name}"] = kzg10.commit(srs, mat.col_poly)
+        commitments[f"val_{name}"] = kzg10.commit(srs, mat.val_poly)
+    vk = IndexVerifierKey(
+        info=idx.info,
+        index_commitments=commitments,
+        g=srs.powers_of_g[0],
+        h=srs.h,
+        beta_h=srs.beta_h,
+        srs_max_degree=srs.max_degree,
+    )
+    return IndexProverKey(index=idx, srs=srs, vk=vk), vk
+
+
+# reference alias (src/marlin/mod.rs:88-94)
+def generate_proving_and_verifying_keys(srs, cs):
+    return index(srs, cs)
+
+
+def _serialize_instance(instance: list[int]) -> bytes:
+    return b"".join(Fr(v).serialize() for v in instance)
+
+
+def _degree_bounds(info: ahp.IndexInfo) -> dict[str, Optional[int]]:
+    bounds: dict[str, Optional[int]] = {name: None for name in BETA_POLYS + GAMMA_POLYS}
+    bounds["g_1"] = info.domain_h_size - 2
+    bounds["g_2"] = info.domain_k_size - 2
+    return bounds
+
+
+def prove(pk: IndexProverKey, cs, rng=None) -> MarlinProof:
+    """Three-round AHP + batched KZG openings
+    (reference MarlinInst::prove / prove_from_constraint_system)."""
+    if not cs.is_satisfied():
+        raise ValueError(f"constraint system unsatisfied at {cs.which_is_unsatisfied()}")
+    idx, srs, info = pk.index, pk.srs, pk.index.info
+    bounds = _degree_bounds(info)
+
+    fs = FiatShamirRng(
+        PROTOCOL_NAME + pk.vk.digest() + _serialize_instance(cs.instance_assignment)
+    )
+
+    r1 = ahp.prover_round1(idx, cs)
+    comms: dict[str, Commitment] = {
+        "w": kzg10.commit(srs, r1.w_poly),
+        "z_a": kzg10.commit(srs, r1.z_a_poly),
+        "z_b": kzg10.commit(srs, r1.z_b_poly),
+    }
+    fs.absorb(b"".join(comms[n].serialize() for n in ["w", "z_a", "z_b"]))
+    alpha = fs.squeeze_field_element()
+    etas = fs.squeeze_field_elements(3)
+
+    r2 = ahp.prover_round2(idx, cs, r1, alpha, etas)
+    comms["t"] = kzg10.commit(srs, r2.t_poly)
+    comms["g_1"] = kzg10.commit(srs, r2.g_1_poly, degree_bound=bounds["g_1"])
+    comms["h_1"] = kzg10.commit(srs, r2.h_1_poly)
+    fs.absorb(b"".join(comms[n].serialize() for n in ["t", "g_1", "h_1"]))
+    beta = fs.squeeze_field_element()
+
+    r3 = ahp.prover_round3(idx, alpha, beta, etas)
+    comms["g_2"] = kzg10.commit(srs, r3.g_2_poly, degree_bound=bounds["g_2"])
+    comms["h_2"] = kzg10.commit(srs, r3.h_2_poly)
+    fs.absorb(b"".join(comms[n].serialize() for n in ["g_2", "h_2"]))
+    gamma = fs.squeeze_field_element()
+
+    polys: dict[str, DensePoly] = {
+        "w": r1.w_poly, "z_a": r1.z_a_poly, "z_b": r1.z_b_poly,
+        "t": r2.t_poly, "g_1": r2.g_1_poly, "h_1": r2.h_1_poly,
+        "g_2": r3.g_2_poly, "h_2": r3.h_2_poly,
+    }
+    for mat, name in zip(idx.matrices, ["a", "b", "c"]):
+        polys[f"row_{name}"] = mat.row_poly
+        polys[f"col_{name}"] = mat.col_poly
+        polys[f"val_{name}"] = mat.val_poly
+
+    evaluations: dict[str, int] = {}
+    for name in BETA_POLYS:
+        evaluations[name] = polys[name].evaluate(beta)
+    for name in GAMMA_POLYS:
+        evaluations[name] = polys[name].evaluate(gamma)
+    # sanity: the inner sumcheck claim is the opened t(β)
+    assert evaluations["t"] == r3.sigma_2 % P
+
+    fs.absorb(b"".join(Fr(evaluations[n]).serialize() for n in BETA_POLYS + GAMMA_POLYS))
+    xi = fs.squeeze_field_element()
+
+    all_comms = dict(comms)
+    all_comms.update(pk.vk.index_commitments)
+    beta_batch = [
+        (polys[n], all_comms[n], evaluations[n], bounds[n]) for n in BETA_POLYS
+    ]
+    gamma_batch = [
+        (polys[n], all_comms[n], evaluations[n], bounds[n]) for n in GAMMA_POLYS
+    ]
+    pc_beta = kzg10.batch_open(srs, beta_batch, beta, xi)
+    pc_gamma = kzg10.batch_open(srs, gamma_batch, gamma, xi)
+
+    return MarlinProof(
+        commitments=comms,
+        evaluations=evaluations,
+        pc_proof_beta=pc_beta,
+        pc_proof_gamma=pc_gamma,
+    )
+
+
+def verify(vk: IndexVerifierKey, public_inputs: list[int], proof: MarlinProof, rng=None) -> bool:
+    """reference MarlinInst::verify (src/marlin/mod.rs:79-86).
+
+    ``public_inputs`` excludes the leading One (as in arkworks): the full
+    instance vector is [1, *public_inputs].
+    """
+    info = vk.info
+    instance = [1] + [int(v) % P for v in public_inputs]
+    if len(instance) != info.num_instance:
+        return False
+    bounds = _degree_bounds(info)
+
+    fs = FiatShamirRng(PROTOCOL_NAME + vk.digest() + _serialize_instance(instance))
+    comms = proof.commitments
+    try:
+        fs.absorb(b"".join(comms[n].serialize() for n in ["w", "z_a", "z_b"]))
+        alpha = fs.squeeze_field_element()
+        etas = fs.squeeze_field_elements(3)
+        fs.absorb(b"".join(comms[n].serialize() for n in ["t", "g_1", "h_1"]))
+        beta = fs.squeeze_field_element()
+        fs.absorb(b"".join(comms[n].serialize() for n in ["g_2", "h_2"]))
+        gamma = fs.squeeze_field_element()
+        evals = proof.evaluations
+        fs.absorb(b"".join(Fr(evals[n]).serialize() for n in BETA_POLYS + GAMMA_POLYS))
+        xi = fs.squeeze_field_element()
+    except KeyError:
+        return False
+
+    if not ahp.verify_outer_sumcheck(info, instance, alpha, etas, beta, evals):
+        return False
+    if not ahp.verify_inner_sumcheck(info, alpha, beta, etas, gamma, evals["t"], evals):
+        return False
+
+    all_comms = dict(comms)
+    all_comms.update(vk.index_commitments)
+    beta_batch = [(None, all_comms[n], evals[n], bounds[n]) for n in BETA_POLYS]
+    gamma_batch = [(None, all_comms[n], evals[n], bounds[n]) for n in GAMMA_POLYS]
+    if not kzg10.batch_check(
+        vk.g, vk.h, vk.beta_h, vk.srs_max_degree, beta_batch, beta, proof.pc_proof_beta, xi
+    ):
+        return False
+    if not kzg10.batch_check(
+        vk.g, vk.h, vk.beta_h, vk.srs_max_degree, gamma_batch, gamma, proof.pc_proof_gamma, xi
+    ):
+        return False
+    return True
+
+
+# -- reference-parity aliases (fork API shape) ---------------------------------
+
+
+def generate_proof(cs, proving_key: IndexProverKey, rng=None) -> MarlinProof:
+    """reference src/marlin/mod.rs:70-77 (prove_from_constraint_system)."""
+    return prove(proving_key, cs, rng)
+
+
+def verify_proof(verifying_key: IndexVerifierKey, public_inputs, proof, rng=None) -> bool:
+    """reference src/marlin/mod.rs:79-86."""
+    return verify(verifying_key, public_inputs, proof, rng)

@@ -1,0 +1,76 @@
+"""Marlin prove/verify round-trips at the reference's small SRS scale
+(SURVEY.md §4 pattern 3: examples/test-circuit.rs:71-81 with
+universal_setup(100, 25, 300))."""
+
+import pytest
+
+from simpleworks_tpu import marlin
+from simpleworks_tpu.examples import manual_constraints, test_circuit
+
+
+@pytest.fixture(scope="module")
+def srs():
+    return marlin.universal_setup(100, 25, 300, marlin.generate_rand())
+
+
+def test_srs_shape(srs):
+    # n = 128, m = 512 → degree max(3·128−3, 6·512−6) = 3066
+    assert srs.max_degree == 3066
+    assert len(srs.powers_of_g) == 3067
+
+
+def test_marlin_round_trip_manual_constraints(srs):
+    cs = manual_constraints.synthesize(3, 3)
+    pk, vk = marlin.index(srs, cs)
+    proof = marlin.prove(pk, cs)
+    assert marlin.verify(vk, [3], proof)
+
+
+def test_marlin_rejects_wrong_public_input(srs):
+    cs = manual_constraints.synthesize(3, 3)
+    pk, vk = marlin.index(srs, cs)
+    proof = marlin.prove(pk, cs)
+    assert not marlin.verify(vk, [4], proof)
+
+
+def test_marlin_round_trip_test_circuit(srs):
+    cs = test_circuit.synthesize(1, 1)
+    pk, vk = marlin.index(srs, cs)
+    proof = marlin.prove(pk, cs)
+    assert marlin.verify(vk, [], proof)
+
+
+def test_marlin_prove_rejects_unsatisfied(srs):
+    cs = test_circuit.synthesize(1, 2)
+    pk, vk = marlin.index(srs, cs)
+    with pytest.raises(ValueError, match="unsatisfied"):
+        marlin.prove(pk, cs)
+
+
+def test_marlin_rejects_tampered_proof(srs):
+    cs = manual_constraints.synthesize(5, 5)
+    pk, vk = marlin.index(srs, cs)
+    proof = marlin.prove(pk, cs)
+    # corrupt one evaluation
+    proof.evaluations["z_a"] = (proof.evaluations["z_a"] + 1) % marlin.P
+    assert not marlin.verify(vk, [5], proof)
+
+
+def test_marlin_rejects_swapped_commitment(srs):
+    cs = manual_constraints.synthesize(7, 7)
+    pk, vk = marlin.index(srs, cs)
+    proof = marlin.prove(pk, cs)
+    proof.commitments["z_a"], proof.commitments["z_b"] = (
+        proof.commitments["z_b"],
+        proof.commitments["z_a"],
+    )
+    assert not marlin.verify(vk, [7], proof)
+
+
+def test_marlin_proof_deterministic(srs):
+    cs = manual_constraints.synthesize(9, 9)
+    pk, vk = marlin.index(srs, cs)
+    p1 = marlin.prove(pk, cs)
+    p2 = marlin.prove(pk, cs)
+    assert p1.evaluations == p2.evaluations
+    assert p1.pc_proof_beta == p2.pc_proof_beta
