@@ -1,0 +1,120 @@
+"""Byte serialization for Marlin proofs and keys
+(reference ``src/marlin/serialization.rs``: serialize_proof/verifying_key/
+proving_key + deserialize twins).
+
+Format (little-endian, framework-defined — arkworks byte-compatibility is a
+planned extension since our transcripts already differ):
+
+* Commitment: 48B compressed G1 | 1B has_shifted | [48B shifted]
+* Proof: 8 round commitments (canonical order) | 17 evaluations (32B Fr)
+         | 2 opening witnesses (48B)
+* VerifyingKey: info (4×u64) | 9 index commitments | g | h | beta_h
+"""
+
+from __future__ import annotations
+
+import struct
+
+from ..curves.bls12_377 import G1Point, G2Point
+from ..fields.bls12_377 import Fr
+from ..kzg.kzg10 import Commitment
+from . import (
+    BETA_POLYS,
+    GAMMA_POLYS,
+    INDEX_POLYS,
+    IndexVerifierKey,
+    MarlinProof,
+)
+from .ahp import IndexInfo
+
+ROUND_COMMS = ["w", "z_a", "z_b", "t", "g_1", "h_1", "g_2", "h_2"]
+ALL_EVALS = BETA_POLYS + GAMMA_POLYS
+
+
+def _read_commitment(data: bytes, off: int) -> tuple[Commitment, int]:
+    comm = G1Point.deserialize_compressed(data[off : off + 48])
+    off += 48
+    has_shifted = data[off]
+    off += 1
+    shifted = None
+    if has_shifted:
+        shifted = G1Point.deserialize_compressed(data[off : off + 48])
+        off += 48
+    return Commitment(comm=comm, shifted_comm=shifted), off
+
+
+def serialize_proof(proof: MarlinProof) -> bytes:
+    out = bytearray()
+    for name in ROUND_COMMS:
+        out += proof.commitments[name].serialize()
+    for name in ALL_EVALS:
+        out += Fr(proof.evaluations[name]).serialize()
+    out += proof.pc_proof_beta.serialize_compressed()
+    out += proof.pc_proof_gamma.serialize_compressed()
+    return bytes(out)
+
+
+def deserialize_proof(data: bytes) -> MarlinProof:
+    off = 0
+    commitments = {}
+    for name in ROUND_COMMS:
+        commitments[name], off = _read_commitment(data, off)
+    evaluations = {}
+    for name in ALL_EVALS:
+        evaluations[name] = Fr.deserialize(data[off : off + 32]).value
+        off += 32
+    pc_beta = G1Point.deserialize_compressed(data[off : off + 48])
+    off += 48
+    pc_gamma = G1Point.deserialize_compressed(data[off : off + 48])
+    return MarlinProof(
+        commitments=commitments,
+        evaluations=evaluations,
+        pc_proof_beta=pc_beta,
+        pc_proof_gamma=pc_gamma,
+    )
+
+
+def serialize_verifying_key(vk: IndexVerifierKey) -> bytes:
+    out = bytearray()
+    out += struct.pack(
+        "<5Q",
+        vk.info.num_instance_padded,
+        vk.info.num_instance,
+        vk.info.domain_h_size,
+        vk.info.domain_k_size,
+        vk.srs_max_degree,
+    )
+    for name in INDEX_POLYS:
+        out += vk.index_commitments[name].serialize()
+    out += vk.g.serialize_compressed()
+    out += vk.h.serialize_compressed()
+    out += vk.beta_h.serialize_compressed()
+    return bytes(out)
+
+
+def deserialize_verifying_key(data: bytes) -> IndexVerifierKey:
+    ell, num_instance, n, m, srs_max = struct.unpack_from("<5Q", data, 0)
+    off = 40
+    commitments = {}
+    for name in INDEX_POLYS:
+        commitments[name], off = _read_commitment(data, off)
+    g = G1Point.deserialize_compressed(data[off : off + 48])
+    off += 48
+    h = G2Point.deserialize_compressed(data[off : off + 96])
+    off += 96
+    beta_h = G2Point.deserialize_compressed(data[off : off + 96])
+    info = IndexInfo(
+        num_instance_padded=ell,
+        num_instance=num_instance,
+        domain_h_size=n,
+        domain_k_size=m,
+        max_degree=max(3 * n - 3, 6 * m - 6),
+    )
+    return IndexVerifierKey(
+        info=info,
+        index_commitments=commitments,
+        g=g,
+        h=h,
+        beta_h=beta_h,
+        srs_max_degree=srs_max,
+    )

@@ -1,0 +1,95 @@
+"""Mesh-sharded MSM over BLS12-377 G1 (SURVEY.md §2.4 'Distributed
+Pippenger MSM' slot).
+
+Points and scalars are sharded across the mesh axis; each device runs a
+batched double-and-add ladder over its shard (uint32 limb lanes,
+branchless Jacobian ops), tree-reduces its lanes, and partial sums are
+combined with an all_gather + local tree reduction over ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..curves.bls12_377 import G1Point
+from ..curves import g1_device as g1d
+from ..fields.bls12_377 import FR_MODULUS
+
+
+def scalars_to_bits(scalars: list[int], num_bits: int = 253) -> np.ndarray:
+    bits = np.zeros((len(scalars), num_bits), dtype=bool)
+    for i, s in enumerate(scalars):
+        s = int(s) % FR_MODULUS
+        for b in range(num_bits):
+            bits[i, b] = (s >> b) & 1
+    return bits
+
+
+def _local_msm(px, py, pz, bits):
+    """Batched ladder: acc_i = s_i · P_i, then lane tree-reduce.
+    px/py/pz: [n_local, L]; bits: [n_local, num_bits]."""
+
+    def step(carry, bit_col):
+        acc, base = carry
+        added = g1d.add(acc, base)
+        acc = g1d.select_point(bit_col, added, acc)
+        base = g1d.double(base)
+        return (acc, base), None
+
+    acc0 = g1d.identity_like((px.shape[0],))
+    (acc, _base), _ = jax.lax.scan(step, (acc0, (px, py, pz)), bits.T)
+    return g1d.tree_reduce(acc)
+
+
+def make_sharded_msm(mesh: Mesh, axis_name: str, num_bits: int = 253):
+    """Build a jitted sharded MSM: (points [N,L]×3, bits [N,num_bits]) -> one
+    Jacobian point (replicated)."""
+
+    def local_step(px, py, pz, bits):
+        part = _local_msm(px, py, pz, bits)  # ([1,L],)*3
+        # combine partial sums across devices
+        gx = jax.lax.all_gather(part[0], axis_name, axis=0, tiled=True)
+        gy = jax.lax.all_gather(part[1], axis_name, axis=0, tiled=True)
+        gz = jax.lax.all_gather(part[2], axis_name, axis=0, tiled=True)
+        return g1d.tree_reduce((gx, gy, gz))
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P(axis_name, None),
+            P(axis_name, None),
+            P(axis_name, None),
+            P(axis_name, None),
+        ),
+        out_specs=(P(None, None), P(None, None), P(None, None)),
+    )
+    return jax.jit(sharded)
+
+
+def sharded_msm_host(mesh: Mesh, axis_name: str, points: list[G1Point], scalars: list[int]) -> G1Point:
+    """Host wrapper: pad to a device-divisible power-of-two lane count."""
+    n_dev = mesh.shape[axis_name]
+    n = max(2, len(points))
+    target = 1
+    while target < n or target % n_dev:
+        target <<= 1
+    pts = list(points) + [G1Point.identity()] * (target - len(points))
+    scs = list(scalars) + [0] * (target - len(scalars))
+    px, py, pz = g1d.points_to_device(pts)
+    bits = jnp.asarray(scalars_to_bits(scs))
+    run = make_sharded_msm(mesh, axis_name)
+    spec = NamedSharding(mesh, P(axis_name, None))
+    out = run(
+        jax.device_put(px, spec),
+        jax.device_put(py, spec),
+        jax.device_put(pz, spec),
+        jax.device_put(bits, spec),
+    )
+    return g1d.points_from_device(out)[0]

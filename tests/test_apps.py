@@ -1,0 +1,132 @@
+"""Application-layer tests: simple-payments ledger end-to-end (reference
+examples/simple-payments/ledger.rs:202-250), ElGamal (tests/encrypt.rs),
+and serialization round-trips (src/marlin/serialization.rs,
+src/fields/serialization.rs)."""
+
+import pytest
+
+from simpleworks_tpu import elgamal, marlin
+from simpleworks_tpu.examples import manual_constraints
+from simpleworks_tpu.examples.simple_payments.account import AccountId
+from simpleworks_tpu.examples.simple_payments.ledger import Parameters, State
+from simpleworks_tpu.examples.simple_payments.transaction import Transaction
+from simpleworks_tpu.curves.edwards import prime_subgroup_generator
+from simpleworks_tpu.fields.bls12_377 import ConstraintF
+from simpleworks_tpu.fields.serialization import (
+    deserialize_field_element,
+    serialize_field_element,
+)
+from simpleworks_tpu.marlin.serialization import (
+    deserialize_proof,
+    deserialize_verifying_key,
+    serialize_proof,
+    serialize_verifying_key,
+)
+from simpleworks_tpu.utils.rng import test_rng
+
+
+# -------------------------------------------------------- simple-payments ----
+
+
+@pytest.fixture(scope="module")
+def ledger_setup():
+    rng = test_rng()
+    # native-signature mode: the Marlin leg of validate() is the TPU bench
+    # workload; ledger semantics are identical (see transaction.py docstring)
+    pp = Parameters.sample(rng, prove_transactions=False)
+    state = State(32, pp)
+    return pp, state, rng
+
+
+def test_ledger_end_to_end(ledger_setup):
+    """reference ledger.rs:202-250 (end_to_end)."""
+    pp, state, rng = ledger_setup
+    alice_id, _alice_pk, alice_sk = state.sample_keys_and_register(pp, rng)
+    assert alice_id == AccountId(1)
+    assert state.update_balance(alice_id, 10)
+    bob_id, _bob_pk, bob_sk = state.sample_keys_and_register(pp, rng)
+    assert bob_id == AccountId(2)
+
+    # valid transfer of 5
+    tx1 = Transaction.create(pp, alice_id, bob_id, 5, alice_sk, rng)
+    assert tx1.validate(pp, state, rng)
+    assert state.apply_transaction(pp, tx1, rng)
+    assert state.id_to_account_info[alice_id].balance == 5
+    assert state.id_to_account_info[bob_id].balance == 5
+
+    # amount larger than balance
+    bad_tx = Transaction.create(pp, alice_id, bob_id, 6, alice_sk, rng)
+    assert not bad_tx.validate(pp, state, rng)
+    assert state.apply_transaction(pp, bad_tx, rng) is None
+
+    # wrong signature (bob's key)
+    bad_tx = Transaction.create(pp, alice_id, bob_id, 5, bob_sk, rng)
+    assert not bad_tx.validate(pp, state, rng)
+    assert state.apply_transaction(pp, bad_tx, rng) is None
+
+    # non-existent recipient
+    bad_tx = Transaction.create(pp, alice_id, AccountId(10), 5, alice_sk, rng)
+    assert not bad_tx.validate(pp, state, rng)
+    assert state.apply_transaction(pp, bad_tx, rng) is None
+
+
+def test_ledger_register_updates_tree(ledger_setup):
+    pp, _, _ = ledger_setup
+    rng = test_rng()
+    state = State(8, pp)
+    root0 = state.root()
+    state.sample_keys_and_register(pp, rng)
+    assert state.root() != root0
+
+
+# ------------------------------------------------------------- ElGamal ----
+
+
+def test_elgamal_round_trip():
+    """reference tests/encrypt.rs:10-28."""
+    rng = test_rng()
+    params = elgamal.setup(rng)
+    pk, sk = elgamal.keygen(params, rng)
+    message = prime_subgroup_generator().scalar_mul(7777)
+    ct = elgamal.encrypt(params, pk, message, rng)
+    assert elgamal.decrypt(params, sk, ct) == message
+    # wrong key fails
+    pk2, sk2 = elgamal.keygen(params, rng)
+    assert elgamal.decrypt(params, sk2, ct) != message
+
+
+# ------------------------------------------------------------- serde ------
+
+
+def test_field_element_serialization():
+    x = ConstraintF.rand(test_rng())
+    data = serialize_field_element(x)
+    assert len(data) == 32
+    assert deserialize_field_element(data) == x
+
+
+@pytest.fixture(scope="module")
+def small_proof():
+    srs = marlin.universal_setup(100, 25, 300, marlin.generate_rand())
+    cs = manual_constraints.synthesize(3, 3)
+    pk, vk = marlin.index(srs, cs)
+    proof = marlin.prove(pk, cs)
+    return vk, proof
+
+
+def test_proof_serialization_round_trip(small_proof):
+    vk, proof = small_proof
+    data = serialize_proof(proof)
+    restored = deserialize_proof(data)
+    assert restored.evaluations == proof.evaluations
+    assert restored.pc_proof_beta == proof.pc_proof_beta
+    assert marlin.verify(vk, [3], restored)
+
+
+def test_vk_serialization_round_trip(small_proof):
+    vk, proof = small_proof
+    data = serialize_verifying_key(vk)
+    vk2 = deserialize_verifying_key(data)
+    assert vk2.digest() == vk.digest()
+    assert marlin.verify(vk2, [3], proof)
+    assert not marlin.verify(vk2, [4], proof)
