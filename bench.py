@@ -1,0 +1,88 @@
+"""Benchmark: BLS12-377 Fr Montgomery-mul throughput per chip (the
+north-star kernel metric from BASELINE.json: 'field muls/sec/chip').
+
+Also measures NTT throughput as a secondary (printed to stderr).  The
+``vs_baseline`` ratio compares against an estimated single-thread arkworks
+CPU rate of 3e7 muls/s (the reference publishes no numbers — BASELINE.md;
+arkworks Fr mul ≈ 30ns single-thread is the community ballpark).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+ARKWORKS_CPU_MULS_PER_SEC = 3.0e7
+
+
+def main() -> None:
+    from simpleworks_tpu.fields.bls12_377 import Fr, FR_MODULUS
+    from simpleworks_tpu.fields.device import DeviceField
+    from simpleworks_tpu.fields.pack import pack_standard
+    from simpleworks_tpu.poly.ntt_device import get_device_ntt
+
+    df = DeviceField(Fr.PARAMS)
+    batch = 1 << 20
+    rng = np.random.default_rng(1)
+    vals = rng.integers(0, 1 << 62, size=batch, dtype=np.int64).tolist()
+    R = Fr.PARAMS.montgomery_r
+    a = jnp.asarray(pack_standard([v * R % FR_MODULUS for v in vals], Fr.PARAMS))
+    b = jnp.roll(a, 1, axis=0)
+
+    @jax.jit
+    def mul_chain(x, y):
+        # 8 dependent muls per element per call
+        for _ in range(8):
+            x = df.mul(x, y)
+        return x
+
+    out = mul_chain(a, b)
+    out.block_until_ready()  # compile
+    iters = 5
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = mul_chain(out, b)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - start
+    muls = batch * 8 * iters
+    mul_throughput = muls / elapsed
+
+    # secondary: NTT throughput (elements transformed / sec)
+    n = 1 << 16
+    ntt = get_device_ntt(n)
+    x = a[:n]
+    y = ntt.fft_mont(x)
+    y.block_until_ready()
+    start = time.perf_counter()
+    ntt_iters = 5
+    for _ in range(ntt_iters):
+        y = ntt.fft_mont(y)
+    y.block_until_ready()
+    ntt_elapsed = time.perf_counter() - start
+    print(
+        f"[bench] ntt n={n}: {ntt_elapsed / ntt_iters * 1e3:.1f} ms/transform "
+        f"({n * ntt_iters / ntt_elapsed:.3e} elem/s)",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "fr_montmul_throughput_per_chip",
+                "value": round(mul_throughput, 1),
+                "unit": "muls/sec",
+                "vs_baseline": round(mul_throughput / ARKWORKS_CPU_MULS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -10,4 +10,14 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when a TPU platform (e.g. the axon tunnel) is configured:
+# tests validate sharding on the virtual 8-device mesh.  The environment's
+# sitecustomize imports jax at interpreter startup, so setting the env var
+# here is too late — update the live config as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass

@@ -15,7 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..curves.bls12_377 import G1Point
 from ..curves import g1_device as g1d
