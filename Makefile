@@ -1,0 +1,21 @@
+CXX ?= g++
+CXXFLAGS ?= -O3 -fPIC -shared -std=c++17 -march=native
+
+native: simpleworks_tpu/native/libswtpu_native.so
+
+simpleworks_tpu/native/libswtpu_native.so: csrc/swtpu_native.cpp
+	$(CXX) $(CXXFLAGS) -o $@ $<
+
+test:
+	python -m pytest tests/ -q
+
+test-slow:
+	python -m pytest tests/ -q -m slow
+
+bench:
+	python bench.py
+
+clean:
+	rm -f simpleworks_tpu/native/libswtpu_native.so
+
+.PHONY: native test test-slow bench clean

@@ -19,5 +19,9 @@ try:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: the unrolled limb kernels are expensive
+    # to compile on the 2-vCPU test box; cache across runs.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/swtpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass

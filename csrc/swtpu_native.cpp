@@ -1,0 +1,378 @@
+// swtpu_native: host-side native kernels for simpleworks_tpu.
+//
+// The framework's compute path on TPU is JAX/XLA (see simpleworks_tpu/fields/
+// device.py, poly/ntt_device.py); this library is the *host runtime*: fast
+// Montgomery arithmetic, NTTs, and G1 MSMs for circuit synthesis, SRS
+// generation and proof orchestration — the role arkworks' Rust core plays for
+// the reference (SURVEY.md §2.3).  Exposed as a C ABI consumed via ctypes
+// (simpleworks_tpu/native/__init__.py).
+//
+// Representation: little-endian u64 limbs; field elements in Montgomery form
+// (R = 2^(64·n)); generic over limb count n ≤ 6 (Fr: 4, Fq: 6).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+
+typedef unsigned __int128 u128;
+
+struct FpCtx {
+    int n;               // limb count
+    uint64_t p[6];       // modulus
+    uint64_t r2[6];      // R^2 mod p
+    uint64_t inv;        // -p^{-1} mod 2^64
+    uint64_t one[6];     // R mod p (1 in Montgomery form)
+};
+
+extern "C" {
+
+// ---------------------------------------------------------------- field ----
+
+static inline int fp_cmp(const FpCtx* c, const uint64_t* a, const uint64_t* b) {
+    for (int i = c->n - 1; i >= 0; --i) {
+        if (a[i] < b[i]) return -1;
+        if (a[i] > b[i]) return 1;
+    }
+    return 0;
+}
+
+static inline void fp_sub_p(const FpCtx* c, uint64_t* a) {
+    // a -= p (caller guarantees a >= p)
+    unsigned char borrow = 0;
+    for (int i = 0; i < c->n; ++i) {
+        u128 d = (u128)a[i] - c->p[i] - borrow;
+        a[i] = (uint64_t)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+}
+
+static inline void fp_add(const FpCtx* c, const uint64_t* a, const uint64_t* b, uint64_t* out) {
+    unsigned char carry = 0;
+    for (int i = 0; i < c->n; ++i) {
+        u128 s = (u128)a[i] + b[i] + carry;
+        out[i] = (uint64_t)s;
+        carry = (uint64_t)(s >> 64);
+    }
+    if (carry || fp_cmp(c, out, c->p) >= 0) fp_sub_p(c, out);
+}
+
+static inline void fp_sub(const FpCtx* c, const uint64_t* a, const uint64_t* b, uint64_t* out) {
+    unsigned char borrow = 0;
+    for (int i = 0; i < c->n; ++i) {
+        u128 d = (u128)a[i] - b[i] - borrow;
+        out[i] = (uint64_t)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+    if (borrow) {
+        unsigned char carry = 0;
+        for (int i = 0; i < c->n; ++i) {
+            u128 s = (u128)out[i] + c->p[i] + carry;
+            out[i] = (uint64_t)s;
+            carry = (uint64_t)(s >> 64);
+        }
+    }
+}
+
+// CIOS Montgomery multiplication.
+static inline void fp_mul(const FpCtx* c, const uint64_t* a, const uint64_t* b, uint64_t* out) {
+    const int n = c->n;
+    uint64_t t[8] = {0};  // n + 2 columns
+    for (int i = 0; i < n; ++i) {
+        // t += a[i] * b
+        uint64_t carry = 0;
+        for (int j = 0; j < n; ++j) {
+            u128 s = (u128)a[i] * b[j] + t[j] + carry;
+            t[j] = (uint64_t)s;
+            carry = (uint64_t)(s >> 64);
+        }
+        u128 s = (u128)t[n] + carry;
+        t[n] = (uint64_t)s;
+        t[n + 1] = (uint64_t)(s >> 64);
+        // m = t[0] * inv mod 2^64;  t += m * p;  t >>= 64
+        uint64_t m = t[0] * c->inv;
+        u128 acc = (u128)m * c->p[0] + t[0];
+        carry = (uint64_t)(acc >> 64);
+        for (int j = 1; j < n; ++j) {
+            acc = (u128)m * c->p[j] + t[j] + carry;
+            t[j - 1] = (uint64_t)acc;
+            carry = (uint64_t)(acc >> 64);
+        }
+        acc = (u128)t[n] + carry;
+        t[n - 1] = (uint64_t)acc;
+        t[n] = t[n + 1] + (uint64_t)(acc >> 64);
+        t[n + 1] = 0;
+    }
+    if (t[n] || fp_cmp(c, t, c->p) >= 0) fp_sub_p(c, t);
+    std::memcpy(out, t, n * 8);
+}
+
+static inline void fp_copy(const FpCtx* c, const uint64_t* a, uint64_t* out) {
+    std::memcpy(out, a, c->n * 8);
+}
+
+static inline void fp_set_zero(const FpCtx* c, uint64_t* out) {
+    std::memset(out, 0, c->n * 8);
+}
+
+static inline bool fp_is_zero(const FpCtx* c, const uint64_t* a) {
+    for (int i = 0; i < c->n; ++i) if (a[i]) return false;
+    return true;
+}
+
+void swtpu_fp_mul_batch(const FpCtx* c, const uint64_t* a, const uint64_t* b,
+                        uint64_t* out, size_t count) {
+    for (size_t i = 0; i < count; ++i)
+        fp_mul(c, a + i * c->n, b + i * c->n, out + i * c->n);
+}
+
+void swtpu_fp_add_batch(const FpCtx* c, const uint64_t* a, const uint64_t* b,
+                        uint64_t* out, size_t count) {
+    for (size_t i = 0; i < count; ++i)
+        fp_add(c, a + i * c->n, b + i * c->n, out + i * c->n);
+}
+
+void swtpu_fp_sub_batch(const FpCtx* c, const uint64_t* a, const uint64_t* b,
+                        uint64_t* out, size_t count) {
+    for (size_t i = 0; i < count; ++i)
+        fp_sub(c, a + i * c->n, b + i * c->n, out + i * c->n);
+}
+
+void swtpu_fp_to_mont(const FpCtx* c, const uint64_t* a, uint64_t* out, size_t count) {
+    for (size_t i = 0; i < count; ++i)
+        fp_mul(c, a + i * c->n, c->r2, out + i * c->n);
+}
+
+void swtpu_fp_from_mont(const FpCtx* c, const uint64_t* a, uint64_t* out, size_t count) {
+    uint64_t one[6] = {1, 0, 0, 0, 0, 0};
+    for (size_t i = 0; i < count; ++i)
+        fp_mul(c, a + i * c->n, one, out + i * c->n);
+}
+
+static void fp_pow(const FpCtx* c, const uint64_t* base, const uint64_t* e, int e_limbs,
+                   uint64_t* out) {
+    uint64_t acc[6], b[6];
+    fp_copy(c, c->one, acc);
+    fp_copy(c, base, b);
+    for (int limb = 0; limb < e_limbs; ++limb) {
+        uint64_t bits = e[limb];
+        for (int i = 0; i < 64; ++i) {
+            if (bits & 1) fp_mul(c, acc, b, acc);
+            fp_mul(c, b, b, b);
+            bits >>= 1;
+        }
+    }
+    fp_copy(c, acc, out);
+}
+
+// cumulative powers: out[i] = base^i (Montgomery), i in [0, count)
+void swtpu_fp_powers(const FpCtx* c, const uint64_t* base_mont, uint64_t* out, size_t count) {
+    if (!count) return;
+    fp_copy(c, c->one, out);
+    for (size_t i = 1; i < count; ++i)
+        fp_mul(c, out + (i - 1) * c->n, base_mont, out + i * c->n);
+}
+
+// ------------------------------------------------------------------ NTT ----
+
+// In-place iterative radix-2 NTT over Montgomery-form data (natural order
+// in/out; bit-reversal inside). stage_twiddles: concatenated per-stage tables
+// (sizes 1, 2, 4, ..., n/2), Montgomery form.
+void swtpu_ntt(const FpCtx* c, uint64_t* data, size_t n, const uint64_t* stage_twiddles) {
+    const int L = c->n;
+    // bit reverse permutation
+    size_t bits = 0;
+    while (((size_t)1 << bits) < n) ++bits;
+    for (size_t i = 0; i < n; ++i) {
+        size_t j = 0;
+        for (size_t b = 0; b < bits; ++b) j |= ((i >> b) & 1) << (bits - 1 - b);
+        if (j > i) {
+            for (int k = 0; k < L; ++k) {
+                uint64_t tmp = data[i * L + k];
+                data[i * L + k] = data[j * L + k];
+                data[j * L + k] = tmp;
+            }
+        }
+    }
+    const uint64_t* tw = stage_twiddles;
+    for (size_t len = 2; len <= n; len <<= 1) {
+        size_t half = len >> 1;
+        for (size_t start = 0; start < n; start += len) {
+            for (size_t j = 0; j < half; ++j) {
+                uint64_t* lo = data + (start + j) * L;
+                uint64_t* hi = data + (start + j + half) * L;
+                uint64_t t[6], u[6];
+                fp_mul(c, hi, tw + j * L, t);
+                fp_copy(c, lo, u);
+                fp_add(c, u, t, lo);
+                fp_sub(c, u, t, hi);
+            }
+        }
+        tw += half * L;
+    }
+}
+
+void swtpu_scale(const FpCtx* c, uint64_t* data, size_t n, const uint64_t* factor_mont) {
+    for (size_t i = 0; i < n; ++i)
+        fp_mul(c, data + i * c->n, factor_mont, data + i * c->n);
+}
+
+// ------------------------------------------------------------------- G1 ----
+
+// Jacobian point over Fq (6 limbs per coordinate, Montgomery form).
+struct G1 {
+    uint64_t x[6], y[6], z[6];
+};
+
+static inline bool g1_is_identity(const FpCtx* c, const G1* p) {
+    return fp_is_zero(c, p->z);
+}
+
+static void g1_set_identity(const FpCtx* c, G1* p) {
+    fp_copy(c, c->one, p->x);
+    fp_copy(c, c->one, p->y);
+    fp_set_zero(c, p->z);
+}
+
+static void g1_double(const FpCtx* c, const G1* p, G1* out) {
+    if (g1_is_identity(c, p) || fp_is_zero(c, p->y)) { g1_set_identity(c, out); return; }
+    uint64_t A[6], B[6], C[6], D[6], E[6], F[6], t[6];
+    fp_mul(c, p->x, p->x, A);
+    fp_mul(c, p->y, p->y, B);
+    fp_mul(c, B, B, C);
+    fp_add(c, p->x, B, t);
+    fp_mul(c, t, t, t);
+    fp_sub(c, t, A, t);
+    fp_sub(c, t, C, t);
+    fp_add(c, t, t, D);            // D = 2((X+B)^2 - A - C)
+    fp_add(c, A, A, E);
+    fp_add(c, E, A, E);            // E = 3A
+    fp_mul(c, E, E, F);
+    G1 r;
+    fp_sub(c, F, D, r.x);
+    fp_sub(c, r.x, D, r.x);        // X3 = F - 2D
+    uint64_t c8[6];
+    fp_add(c, C, C, c8);
+    fp_add(c, c8, c8, c8);
+    fp_add(c, c8, c8, c8);         // 8C
+    fp_sub(c, D, r.x, t);
+    fp_mul(c, E, t, r.y);
+    fp_sub(c, r.y, c8, r.y);
+    fp_mul(c, p->y, p->z, t);
+    fp_add(c, t, t, r.z);
+    *out = r;
+}
+
+static void g1_add(const FpCtx* c, const G1* p, const G1* q, G1* out) {
+    if (g1_is_identity(c, p)) { *out = *q; return; }
+    if (g1_is_identity(c, q)) { *out = *p; return; }
+    uint64_t z1z1[6], z2z2[6], u1[6], u2[6], s1[6], s2[6], h[6], rr[6], i[6], j[6], v[6], t[6];
+    fp_mul(c, p->z, p->z, z1z1);
+    fp_mul(c, q->z, q->z, z2z2);
+    fp_mul(c, p->x, z2z2, u1);
+    fp_mul(c, q->x, z1z1, u2);
+    fp_mul(c, p->y, q->z, s1); fp_mul(c, s1, z2z2, s1);
+    fp_mul(c, q->y, p->z, s2); fp_mul(c, s2, z1z1, s2);
+    fp_sub(c, u2, u1, h);
+    fp_sub(c, s2, s1, rr);
+    if (fp_is_zero(c, h)) {
+        if (fp_is_zero(c, rr)) { g1_double(c, p, out); return; }
+        g1_set_identity(c, out);
+        return;
+    }
+    fp_add(c, rr, rr, rr);                 // r = 2(S2 - S1)
+    fp_add(c, h, h, t);
+    fp_mul(c, t, t, i);                    // I = (2H)^2
+    fp_mul(c, h, i, j);
+    fp_mul(c, u1, i, v);
+    G1 r;
+    fp_mul(c, rr, rr, r.x);
+    fp_sub(c, r.x, j, r.x);
+    fp_sub(c, r.x, v, r.x);
+    fp_sub(c, r.x, v, r.x);                // X3 = r^2 - J - 2V
+    fp_sub(c, v, r.x, t);
+    fp_mul(c, rr, t, r.y);
+    uint64_t sj[6];
+    fp_mul(c, s1, j, sj);
+    fp_add(c, sj, sj, sj);
+    fp_sub(c, r.y, sj, r.y);               // Y3 = r(V - X3) - 2 S1 J
+    fp_add(c, p->z, q->z, t);
+    fp_mul(c, t, t, t);
+    fp_sub(c, t, z1z1, t);
+    fp_sub(c, t, z2z2, t);
+    fp_mul(c, t, h, r.z);                  // Z3 = ((Z1+Z2)^2 - Z1Z1 - Z2Z2) H
+    *out = r;
+}
+
+void swtpu_g1_add_batch(const FpCtx* c, const G1* a, const G1* b, G1* out, size_t count) {
+    for (size_t i = 0; i < count; ++i) g1_add(c, a + i, b + i, out + i);
+}
+
+// Pippenger MSM: points (Jacobian mont), scalars as 4x u64 (standard form).
+void swtpu_g1_msm(const FpCtx* c, const G1* points, const uint64_t* scalars,
+                  size_t count, int window_bits, G1* out) {
+    const int scalar_bits = 256;
+    const int num_windows = (scalar_bits + window_bits - 1) / window_bits;
+    const size_t num_buckets = ((size_t)1 << window_bits) - 1;
+    std::vector<G1> buckets(num_buckets);
+    std::vector<char> used(num_buckets);
+    G1 total;
+    g1_set_identity(c, &total);
+    for (int w = num_windows - 1; w >= 0; --w) {
+        for (int d = 0; d < window_bits; ++d) g1_double(c, &total, &total);
+        std::fill(used.begin(), used.end(), 0);
+        int bit_off = w * window_bits;
+        for (size_t i = 0; i < count; ++i) {
+            // extract window digit from 4x64-bit scalar
+            uint64_t digit = 0;
+            for (int b = 0; b < window_bits; ++b) {
+                int bit = bit_off + b;
+                if (bit >= 256) break;
+                uint64_t v = (scalars[i * 4 + bit / 64] >> (bit % 64)) & 1;
+                digit |= v << b;
+            }
+            if (!digit) continue;
+            size_t idx = digit - 1;
+            if (!used[idx]) { buckets[idx] = points[i]; used[idx] = 1; }
+            else g1_add(c, &buckets[idx], &points[i], &buckets[idx]);
+        }
+        G1 running, acc;
+        g1_set_identity(c, &running);
+        g1_set_identity(c, &acc);
+        for (size_t b = num_buckets; b-- > 0;) {
+            if (used[b]) g1_add(c, &running, &buckets[b], &running);
+            g1_add(c, &acc, &running, &acc);
+        }
+        g1_add(c, &total, &acc, &total);
+    }
+    *out = total;
+}
+
+// Fixed-base MSM: out[i] = scalars[i] * base, using an 8-bit window table.
+void swtpu_g1_fixed_base(const FpCtx* c, const G1* base, const uint64_t* scalars,
+                         size_t count, G1* out) {
+    const int wbits = 8;
+    const int num_windows = 32;  // 256 / 8
+    const size_t tsize = 255;
+    std::vector<G1> table(num_windows * tsize);
+    G1 cur = *base;
+    for (int w = 0; w < num_windows; ++w) {
+        G1 acc = cur;
+        for (size_t k = 0; k < tsize; ++k) {
+            table[w * tsize + k] = acc;        // (k+1)·cur
+            g1_add(c, &acc, &cur, &acc);
+        }
+        cur = acc;  // acc ended at 256·cur — the next window's base
+    }
+    for (size_t i = 0; i < count; ++i) {
+        G1 acc;
+        g1_set_identity(c, &acc);
+        for (int w = 0; w < num_windows; ++w) {
+            uint64_t digit = (scalars[i * 4 + (w * 8) / 64] >> ((w * 8) % 64)) & 0xFF;
+            if (digit) g1_add(c, &acc, &table[w * tsize + digit - 1], &acc);
+        }
+        out[i] = acc;
+    }
+}
+
+}  // extern "C"

@@ -67,12 +67,18 @@ def setup(max_degree: int, rng) -> UniversalSRS:
     random group elements here; semantics identical, vectors differ)."""
     tau = Fr.rand(rng).value
     g = G1Point.generator()
-    table = FixedBaseMSM(g, window_bits=8)
-    powers = []
+    scalars = []
     cur = 1
     for _ in range(max_degree + 1):
-        powers.append(table.mul(cur))
+        scalars.append(cur)
         cur = cur * tau % P
+    from ..native import available as native_available, g1_fixed_base
+
+    if native_available():
+        powers = g1_fixed_base(g, scalars)
+    else:
+        table = FixedBaseMSM(g, window_bits=8)
+        powers = [table.mul(s) for s in scalars]
     h = G2Point.generator()
     beta_h = h.scalar_mul(tau)
     return UniversalSRS(powers_of_g=powers, h=h, beta_h=beta_h)

@@ -12,11 +12,18 @@ from ..fields.bls12_377 import FR_MODULUS
 
 
 def msm(points: list[G1Point], scalars: list[int]) -> G1Point:
-    """Pippenger bucket method; window size scaled to input size."""
+    """Pippenger bucket method; window size scaled to input size.
+
+    Routes to the native C++ Pippenger when built (bit-exact; tested)."""
     assert len(points) == len(scalars)
     pairs = [(p, int(s) % FR_MODULUS) for p, s in zip(points, scalars) if int(s) % FR_MODULUS]
     if not pairs:
         return G1Point.identity()
+    if len(pairs) >= 32:
+        from ..native import available as native_available, g1_msm
+
+        if native_available():
+            return g1_msm([p for p, _ in pairs], [s for _, s in pairs])
     n = len(pairs)
     c = max(2, min(16, n.bit_length()))  # window bits
     num_windows = (FR_MODULUS.bit_length() + c - 1) // c

@@ -1,0 +1,192 @@
+"""ctypes bindings for the native host runtime (csrc/swtpu_native.cpp).
+
+Build: ``make native`` (or ``python -m simpleworks_tpu.native.build``).
+All entry points degrade gracefully: ``available()`` is False when the
+shared library hasn't been built, and callers fall back to the pure-Python
+host paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from functools import lru_cache
+from pathlib import Path
+
+import numpy as np
+
+_LIB_PATH = Path(__file__).parent / "libswtpu_native.so"
+
+
+class _FpCtx(ctypes.Structure):
+    _fields_ = [
+        ("n", ctypes.c_int),
+        ("p", ctypes.c_uint64 * 6),
+        ("r2", ctypes.c_uint64 * 6),
+        ("inv", ctypes.c_uint64),
+        ("one", ctypes.c_uint64 * 6),
+    ]
+
+
+@lru_cache(maxsize=1)
+def _lib():
+    if not _LIB_PATH.exists():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    ctxp = ctypes.POINTER(_FpCtx)
+    lib.swtpu_fp_mul_batch.argtypes = [ctxp, u64p, u64p, u64p, ctypes.c_size_t]
+    lib.swtpu_fp_add_batch.argtypes = [ctxp, u64p, u64p, u64p, ctypes.c_size_t]
+    lib.swtpu_fp_sub_batch.argtypes = [ctxp, u64p, u64p, u64p, ctypes.c_size_t]
+    lib.swtpu_fp_to_mont.argtypes = [ctxp, u64p, u64p, ctypes.c_size_t]
+    lib.swtpu_fp_from_mont.argtypes = [ctxp, u64p, u64p, ctypes.c_size_t]
+    lib.swtpu_fp_powers.argtypes = [ctxp, u64p, u64p, ctypes.c_size_t]
+    lib.swtpu_ntt.argtypes = [ctxp, u64p, ctypes.c_size_t, u64p]
+    lib.swtpu_scale.argtypes = [ctxp, u64p, ctypes.c_size_t, u64p]
+    lib.swtpu_g1_msm.argtypes = [ctxp, u64p, u64p, ctypes.c_size_t, ctypes.c_int, u64p]
+    lib.swtpu_g1_fixed_base.argtypes = [ctxp, u64p, u64p, ctypes.c_size_t, u64p]
+    lib.swtpu_g1_add_batch.argtypes = [ctxp, u64p, u64p, u64p, ctypes.c_size_t]
+    return lib
+
+
+def available() -> bool:
+    if os.environ.get("SWTPU_NATIVE") == "0":
+        return False
+    return _lib() is not None
+
+
+def _make_ctx(params) -> _FpCtx:
+    n = params.repr_bits // 64
+    ctx = _FpCtx()
+    ctx.n = n
+    p = params.modulus
+    r2 = params.montgomery_r**2 % p
+    one = params.montgomery_r % p
+    for i in range(6):
+        ctx.p[i] = (p >> (64 * i)) & (2**64 - 1)
+        ctx.r2[i] = (r2 >> (64 * i)) & (2**64 - 1)
+        ctx.one[i] = (one >> (64 * i)) & (2**64 - 1)
+    ctx.inv = (-pow(p, -1, 1 << 64)) % (1 << 64)
+    return ctx
+
+
+@lru_cache(maxsize=4)
+def _ctx_for(name: str) -> _FpCtx:
+    from ..fields.bls12_377 import Fq, Fr, FrEd
+
+    return _make_ctx({"fr": Fr, "fq": Fq, "fr_ed": FrEd}[name].PARAMS)
+
+
+def ints_to_limbs64(values, n_limbs: int) -> np.ndarray:
+    buf = b"".join(int(v).to_bytes(8 * n_limbs, "little") for v in values)
+    return np.frombuffer(buf, dtype="<u8").reshape(len(values), n_limbs).copy()
+
+
+def limbs64_to_ints(arr: np.ndarray) -> list[int]:
+    data = arr.astype("<u8").tobytes()
+    stride = arr.shape[1] * 8
+    return [
+        int.from_bytes(data[i * stride : (i + 1) * stride], "little")
+        for i in range(arr.shape[0])
+    ]
+
+
+def _u64p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def fp_mul_batch(field: str, a: list[int], b: list[int]) -> list[int]:
+    """Standard-form in/out batched modular multiplication."""
+    lib = _lib()
+    ctx = _ctx_for(field)
+    n = ctx.n
+    aa = ints_to_limbs64(a, n)
+    bb = ints_to_limbs64(b, n)
+    am = np.empty_like(aa)
+    bm = np.empty_like(bb)
+    lib.swtpu_fp_to_mont(ctypes.byref(ctx), _u64p(aa), _u64p(am), len(a))
+    lib.swtpu_fp_to_mont(ctypes.byref(ctx), _u64p(bb), _u64p(bm), len(b))
+    out = np.empty_like(aa)
+    lib.swtpu_fp_mul_batch(ctypes.byref(ctx), _u64p(am), _u64p(bm), _u64p(out), len(a))
+    res = np.empty_like(aa)
+    lib.swtpu_fp_from_mont(ctypes.byref(ctx), _u64p(out), _u64p(res), len(a))
+    return limbs64_to_ints(res)
+
+
+def ntt_fr(values: list[int], omega: int, scale: int | None = None) -> list[int]:
+    """Natural-order NTT over Fr with root ``omega`` (standard form in/out).
+    ``scale`` (e.g. n^{-1} for the inverse transform) applied afterwards."""
+    from ..fields.bls12_377 import Fr, FR_MODULUS
+
+    lib = _lib()
+    ctx = _ctx_for("fr")
+    n = len(values)
+    R = Fr.PARAMS.montgomery_r
+    data = ints_to_limbs64([v * R % FR_MODULUS for v in values], 4)
+    # stage twiddles: for len = 2,4,...,n: w_len^j, j < len/2 (Montgomery)
+    tw_vals = []
+    length = 2
+    while length <= n:
+        w = pow(omega, n // length, FR_MODULUS)
+        cur = 1
+        for _ in range(length // 2):
+            tw_vals.append(cur * R % FR_MODULUS)
+            cur = cur * w % FR_MODULUS
+        length <<= 1
+    tws = ints_to_limbs64(tw_vals, 4)
+    lib.swtpu_ntt(ctypes.byref(ctx), _u64p(data), n, _u64p(tws))
+    if scale is not None:
+        s = ints_to_limbs64([scale * R % FR_MODULUS], 4)
+        lib.swtpu_scale(ctypes.byref(ctx), _u64p(data), n, _u64p(s))
+    rinv = pow(R, -1, FR_MODULUS)
+    return [v * rinv % FR_MODULUS for v in limbs64_to_ints(data)]
+
+
+def _points_to_native(points) -> np.ndarray:
+    """G1Points -> [N, 18] u64 Jacobian Montgomery."""
+    from ..fields.bls12_377 import Fq, FQ_MODULUS
+
+    R = Fq.PARAMS.montgomery_r
+    rows = []
+    for p in points:
+        rows.extend([p.X * R % FQ_MODULUS, p.Y * R % FQ_MODULUS, p.Z * R % FQ_MODULUS])
+    return ints_to_limbs64(rows, 6).reshape(len(points), 18)
+
+
+def _points_from_native(arr: np.ndarray):
+    from ..curves.bls12_377 import G1Point
+    from ..fields.bls12_377 import Fq, FQ_MODULUS
+
+    rinv = pow(Fq.PARAMS.montgomery_r, -1, FQ_MODULUS)
+    flat = limbs64_to_ints(arr.reshape(-1, 6))
+    out = []
+    for i in range(0, len(flat), 3):
+        out.append(
+            G1Point(flat[i] * rinv % FQ_MODULUS, flat[i + 1] * rinv % FQ_MODULUS,
+                    flat[i + 2] * rinv % FQ_MODULUS)
+        )
+    return out
+
+
+def g1_msm(points, scalars: list[int], window_bits: int = 13):
+    """Pippenger MSM (native)."""
+    lib = _lib()
+    ctx = _ctx_for("fq")
+    pts = _points_to_native(points)
+    scs = ints_to_limbs64([int(s) for s in scalars], 4)
+    out = np.zeros((1, 18), dtype="<u8")
+    lib.swtpu_g1_msm(
+        ctypes.byref(ctx), _u64p(pts), _u64p(scs), len(points), window_bits, _u64p(out)
+    )
+    return _points_from_native(out)[0]
+
+
+def g1_fixed_base(base, scalars: list[int]):
+    """out[i] = scalars[i]·base via the native windowed table."""
+    lib = _lib()
+    ctx = _ctx_for("fq")
+    b = _points_to_native([base])
+    scs = ints_to_limbs64([int(s) for s in scalars], 4)
+    out = np.zeros((len(scalars), 18), dtype="<u8")
+    lib.swtpu_g1_fixed_base(ctypes.byref(ctx), _u64p(b), _u64p(scs), len(scalars), _u64p(out))
+    return _points_from_native(out)

@@ -1,0 +1,111 @@
+"""Pallas TPU kernel: batched Montgomery multiplication in VMEM.
+
+The XLA path (fields/device.py) materializes ~2000 intermediate [B]-vectors
+per multiply through HBM; this kernel keeps the whole schoolbook + REDC
+pipeline in VMEM per batch tile, making the op compute-bound instead of
+bandwidth-bound.
+
+Layout: limb-major [L, B] uint32 (lanes = batch).  Grid over batch tiles.
+All intermediates are kept 2D ([1, T] / [L, T]) for Mosaic.
+Bit-exact with ``DeviceField.mul`` (tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields.device import LIMB_BITS, LIMB_MASK, int_to_limbs
+from ..fields.host import FieldParams
+
+TILE = 512
+
+
+def _mont_mul_kernel(a_ref, b_ref, p_ref, out_ref, *, n_limbs: int, n0: int):
+    L = n_limbs
+    a = a_ref[...]  # [L, T]
+    b = b_ref[...]
+    p = p_ref[...]  # [L, 1] broadcastable
+    mask = jnp.uint32(LIMB_MASK)
+    T = a.shape[1]
+    zero_row = jnp.zeros((1, T), jnp.uint32)
+
+    t = [zero_row for _ in range(2 * L + 1)]
+    for i in range(L):
+        prod = a[i : i + 1, :] * b  # [L, T]
+        lo = prod & mask
+        hi = prod >> LIMB_BITS
+        for j in range(L):
+            t[i + j] = t[i + j] + lo[j : j + 1, :]
+            t[i + j + 1] = t[i + j + 1] + hi[j : j + 1, :]
+    n0_u = jnp.uint32(n0)
+    for i in range(L):
+        m = ((t[i] & mask) * n0_u) & mask  # [1, T]
+        prod = m * p  # [L, T]
+        lo = prod & mask
+        hi = prod >> LIMB_BITS
+        for j in range(L):
+            t[i + j] = t[i + j] + lo[j : j + 1, :]
+            t[i + j + 1] = t[i + j + 1] + hi[j : j + 1, :]
+        t[i + 1] = t[i + 1] + (t[i] >> LIMB_BITS)
+
+    # normalize result limbs [L..2L] + top carry
+    res = []
+    carry = zero_row
+    for i in range(L):
+        v = t[L + i] + carry
+        res.append(v & mask)
+        carry = v >> LIMB_BITS
+    extra = t[2 * L] + carry  # [1, T], 0 or 1
+
+    res_arr = jnp.concatenate(res, axis=0)  # [L, T]
+
+    def sub_p(arr):
+        out = []
+        borrow = zero_row
+        for i in range(L):
+            d = arr[i : i + 1, :] - p[i : i + 1, :] - borrow
+            borrow = (d >> 31) & 1
+            out.append(d & mask)
+        return jnp.concatenate(out, axis=0), borrow
+
+    # V = extra·2^(16L) + res < 2p.  extra==1 ⇒ answer = res − p (mod 2^16L);
+    # extra==0 ⇒ answer = res − p iff res ≥ p (no borrow).
+    diff, borrow = sub_p(res_arr)
+    use_diff = (extra > 0) | (borrow == 0)
+    out_ref[...] = jnp.where(use_diff, diff, res_arr)
+
+
+@lru_cache(maxsize=4)
+def make_mont_mul(params: FieldParams, tile: int = TILE):
+    """Returns fn(a, b) on limb-major [L, B] uint32 Montgomery arrays
+    (B % tile == 0)."""
+    L = params.repr_bits // LIMB_BITS
+    import numpy as np
+
+    p_limbs = jnp.asarray(np.asarray(int_to_limbs(params.modulus, L)).reshape(L, 1))
+    n0 = (-pow(params.modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+
+    kernel = partial(_mont_mul_kernel, n_limbs=L, n0=n0)
+
+    @jax.jit
+    def mont_mul(a, b):
+        B = a.shape[1]
+        grid = (B // tile,)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((L, B), jnp.uint32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        )(a, b, p_limbs)
+
+    return mont_mul

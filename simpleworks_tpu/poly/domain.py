@@ -27,9 +27,17 @@ def _bit_reverse_permute(values: list[int]) -> list[int]:
 
 
 def ntt_host(values: list[int], omega: int) -> list[int]:
-    """Iterative radix-2 Cooley-Tukey; natural-order in/out."""
+    """Iterative radix-2 Cooley-Tukey; natural-order in/out.
+
+    Routes to the native C++ kernel when built (bit-exact; tested); the
+    pure-Python path below is the oracle."""
     n = len(values)
     assert n & (n - 1) == 0
+    if n >= 64:
+        from ..native import available as native_available, ntt_fr
+
+        if native_available():
+            return ntt_fr([v % P for v in values], omega % P)
     a = _bit_reverse_permute([v % P for v in values])
     length = 2
     while length <= n:

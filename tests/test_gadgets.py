@@ -408,3 +408,38 @@ def test_field_var_bits_and_constants():
     c = FieldVar.constant(cs, 7)
     assert c.is_constant() and not c.is_witness()
     assert a.is_witness()
+
+
+# ------------------------------------------------------------- addmany ----
+
+
+@pytest.mark.parametrize("w", [16, 32, 64, 128])
+def test_addmany_matches_wrapping_sum(w):
+    """The field-arithmetic add used by the reference's uint16/32/64/128
+    (arkworks addmany) and the Blake2s gadget."""
+    cs = new_cs()
+    vals = [mask(w) - 3, 17, mask(w) // 2, 9]
+    ops = [UIntGadget.new_witness(cs, w, v) for v in vals]
+    result = UIntGadget.addmany(ops, cs)
+    assert result.value() == sum(vals) & mask(w)
+    assert cs.is_satisfied()
+
+
+def test_addmany_unsatisfiable_when_tampered():
+    cs = new_cs()
+    a = UIntGadget.new_witness(cs, 32, 5)
+    b = UIntGadget.new_witness(cs, 32, 7)
+    result = UIntGadget.addmany([a, b], cs)
+    assert result.value() == 12
+    # corrupt the witness bit behind result bit 0 (12 is even → set to 1)
+    var = result.bits[0].variable
+    cs.witness_assignment[var.index] = 1
+    assert not cs.is_satisfied()
+
+
+def test_uint_is_witness_flags():
+    cs = new_cs()
+    w = UIntGadget.new_witness(cs, 16, 5)
+    i = UIntGadget.new_input(cs, 16, 5)
+    c = UIntGadget.constant(cs, 16, 5)
+    assert w.is_witness() and not i.is_witness() and not c.is_witness()

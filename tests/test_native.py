@@ -1,0 +1,49 @@
+"""Native (C++) runtime kernels vs the exact Python oracles."""
+
+import random
+
+import pytest
+
+from simpleworks_tpu import native
+from simpleworks_tpu.curves.bls12_377 import G1Point
+from simpleworks_tpu.fields.bls12_377 import FQ_MODULUS, FR_MODULUS, fr_root_of_unity
+from simpleworks_tpu.kzg.msm import msm
+from simpleworks_tpu.poly.domain import Radix2Domain
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native lib not built")
+rnd = random.Random(99)
+
+
+@pytest.mark.parametrize("field,p", [("fr", FR_MODULUS), ("fq", FQ_MODULUS)])
+def test_native_fp_mul(field, p):
+    a = [rnd.randrange(p) for _ in range(64)] + [0, 1, p - 1]
+    b = [rnd.randrange(p) for _ in range(64)] + [p - 1, p - 1, p - 1]
+    got = native.fp_mul_batch(field, a, b)
+    assert got == [x * y % p for x, y in zip(a, b)]
+
+
+@pytest.mark.parametrize("n", [8, 256])
+def test_native_ntt_matches_host(n):
+    values = [rnd.randrange(FR_MODULUS) for _ in range(n)]
+    domain = Radix2Domain(n)
+    got = native.ntt_fr(values, domain.group_gen)
+    assert got == domain.fft(values)
+    # inverse
+    back = native.ntt_fr(got, domain.group_gen_inv, scale=domain.size_inv)
+    assert back == values
+
+
+def test_native_msm_matches_python():
+    g = G1Point.generator()
+    points = [g.scalar_mul(i + 1) for i in range(50)]
+    scalars = [rnd.randrange(FR_MODULUS) for _ in range(50)]
+    got = native.g1_msm(points, scalars)
+    assert got == msm(points, scalars)
+
+
+def test_native_fixed_base():
+    g = G1Point.generator()
+    scalars = [1, 2, 255, 256, 257, rnd.randrange(FR_MODULUS)]
+    got = native.g1_fixed_base(g, scalars)
+    for s, p in zip(scalars, got):
+        assert p == g.scalar_mul(s)
