@@ -28,31 +28,25 @@ def main() -> None:
     from simpleworks_tpu.fields.pack import pack_standard
     from simpleworks_tpu.poly.ntt_device import get_device_ntt
 
-    df = DeviceField(Fr.PARAMS)
-    batch = 1 << 20
+    from simpleworks_tpu.ops.mont_mul_pallas import make_mont_mul
+
+    batch = 1 << 19
     rng = np.random.default_rng(1)
     vals = rng.integers(0, 1 << 62, size=batch, dtype=np.int64).tolist()
     R = Fr.PARAMS.montgomery_r
-    a = jnp.asarray(pack_standard([v * R % FR_MODULUS for v in vals], Fr.PARAMS))
-    b = jnp.roll(a, 1, axis=0)
+    a = jnp.asarray(pack_standard([v * R % FR_MODULUS for v in vals], Fr.PARAMS)).T.copy()
+    b = jnp.roll(a, 1, axis=1)
 
-    @jax.jit
-    def mul_chain(x, y):
-        # 8 dependent muls per element per call
-        for _ in range(8):
-            x = df.mul(x, y)
-        return x
-
-    out = mul_chain(a, b)
+    mul = make_mont_mul(Fr.PARAMS)  # Pallas VMEM kernel, limb-major layout
+    out = mul(a, b)
     out.block_until_ready()  # compile
-    iters = 5
+    iters = 20
     start = time.perf_counter()
     for _ in range(iters):
-        out = mul_chain(out, b)
+        out = mul(out, b)
     out.block_until_ready()
     elapsed = time.perf_counter() - start
-    muls = batch * 8 * iters
-    mul_throughput = muls / elapsed
+    mul_throughput = batch * iters / elapsed
 
     # secondary: NTT throughput (elements transformed / sec)
     n = 1 << 16
