@@ -130,3 +130,26 @@ def test_vk_serialization_round_trip(small_proof):
     assert vk2.digest() == vk.digest()
     assert marlin.verify(vk2, [3], proof)
     assert not marlin.verify(vk2, [4], proof)
+
+
+# ------------------------------------------------------- observability ----
+
+
+def test_constraint_accounting():
+    from simpleworks_tpu.utils.observability import (
+        constraint_counts_by_namespace,
+        summarize_circuit,
+    )
+    from simpleworks_tpu.fields.bls12_377 import ConstraintF
+    from simpleworks_tpu.r1cs.constraint_system import ConstraintSystem, ONE
+
+    cs = ConstraintSystem(ConstraintF)
+    with cs.namespace("layer_a"):
+        v = cs.new_witness_variable(1)
+        cs.enforce_constraint(cs.lc((1, v)), cs.lc((1, ONE)), cs.lc((1, v)))
+        cs.enforce_constraint(cs.lc((1, v)), cs.lc((1, ONE)), cs.lc((1, v)))
+    with cs.namespace("layer_b"):
+        cs.enforce_constraint(cs.lc((1, v)), cs.lc((1, ONE)), cs.lc((1, v)))
+    counts = constraint_counts_by_namespace(cs)
+    assert counts == {"layer_a": 2, "layer_b": 1}
+    assert "constraints: 3" in summarize_circuit(cs)
