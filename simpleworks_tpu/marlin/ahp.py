@@ -247,7 +247,6 @@ def prover_round2(index: Index, cs, r1: ProverRound1, alpha: int, etas: list[int
     # t evals over H: t[colH] += η_M · u_H(α, rowH) · val
     t_evals = [0] * n
     raw = cs.to_matrices()
-    h_index = {e: i for i, e in enumerate(h_elems)}
     for eta, (rows, cols, coeffs) in zip(etas, raw):
         for r, c, v in zip(rows, cols, coeffs):
             ci = _map_column(c, info.num_instance, info.num_instance_padded)
@@ -319,14 +318,14 @@ def prover_round3(index: Index, alpha: int, beta: int, etas: list[int]) -> Prove
         a_poly = a_poly + term
     b_poly = b_polys[0] * b_polys[1] * b_polys[2]
 
-    # f on K, σ₂ = Σ f
+    # f on K, σ₂ = Σ f  (denominators batch-inverted)
+    inv_b = [batch_inverse(b_on_k[i]) for i in range(3)]
     f_evals = []
     for k in range(m):
         acc = 0
         for i, mat in enumerate(index.matrices):
-            acc = (acc + etas[i] * mat.val_evals[k] % P * pow(b_on_k[i][k], P - 2, P)) % P
+            acc = (acc + etas[i] * mat.val_evals[k] % P * inv_b[i][k]) % P
         f_evals.append(acc * scale % P)
-    # batch-invert version of the loop above would be faster; clarity first.
     sigma_2 = sum(f_evals) % P
     f_poly = DensePoly(domain_k.ifft(f_evals))
     assert (f_poly.coeffs[0] if f_poly.coeffs else 0) == sigma_2 * pow(m, P - 2, P) % P

@@ -118,3 +118,75 @@ def deserialize_verifying_key(data: bytes) -> IndexVerifierKey:
         beta_h=beta_h,
         srs_max_degree=srs_max,
     )
+
+
+def serialize_proving_key(pk) -> bytes:
+    """ProvingKey serde (reference serialization.rs:28-45): vk + the index
+    polynomial coefficients + the SRS powers.  Large at full scale — as is
+    the reference's (the SRS dominates)."""
+    from ..fields.bls12_377 import Fr
+
+    out = bytearray()
+    vk_bytes = serialize_verifying_key(pk.vk)
+    out += len(vk_bytes).to_bytes(8, "little")
+    out += vk_bytes
+    for mat in pk.index.matrices:
+        for poly in (mat.row_poly, mat.col_poly, mat.val_poly):
+            out += len(poly.coeffs).to_bytes(8, "little")
+            for c in poly.coeffs:
+                out += Fr(c).serialize()
+    out += len(pk.srs.powers_of_g).to_bytes(8, "little")
+    for p in pk.srs.powers_of_g:
+        out += p.serialize_compressed()
+    out += pk.srs.h.serialize_compressed()
+    out += pk.srs.beta_h.serialize_compressed()
+    return bytes(out)
+
+
+def deserialize_proving_key(data: bytes):
+    """Rebuild an IndexProverKey (index K-evals recomputed from coeffs)."""
+    from ..fields.bls12_377 import Fr
+    from ..kzg.kzg10 import UniversalSRS
+    from ..poly.dense import DensePoly
+    from ..poly.domain import Radix2Domain
+    from . import IndexProverKey
+    from .ahp import Index, MatrixArithmetization
+
+    off = 0
+    vk_len = int.from_bytes(data[off : off + 8], "little")
+    off += 8
+    vk = deserialize_verifying_key(data[off : off + vk_len])
+    off += vk_len
+    domain_k = Radix2Domain(vk.info.domain_k_size)
+    matrices = []
+    for _ in range(3):
+        polys = []
+        for _ in range(3):
+            n_coeffs = int.from_bytes(data[off : off + 8], "little")
+            off += 8
+            coeffs = []
+            for _ in range(n_coeffs):
+                coeffs.append(Fr.deserialize(data[off : off + 32]).value)
+                off += 32
+            polys.append(DensePoly(coeffs))
+        row, col, val = polys
+        matrices.append(
+            MatrixArithmetization(
+                row_poly=row, col_poly=col, val_poly=val,
+                row_evals=domain_k.fft(row.coeffs),
+                col_evals=domain_k.fft(col.coeffs),
+                val_evals=domain_k.fft(val.coeffs),
+            )
+        )
+    n_powers = int.from_bytes(data[off : off + 8], "little")
+    off += 8
+    powers = []
+    for _ in range(n_powers):
+        powers.append(G1Point.deserialize_compressed(data[off : off + 48]))
+        off += 48
+    h = G2Point.deserialize_compressed(data[off : off + 96])
+    off += 96
+    beta_h = G2Point.deserialize_compressed(data[off : off + 96])
+    srs = UniversalSRS(powers_of_g=powers, h=h, beta_h=beta_h)
+    index = Index(info=vk.info, matrices=matrices)
+    return IndexProverKey(index=index, srs=srs, vk=vk)

@@ -153,3 +153,48 @@ def test_constraint_accounting():
     counts = constraint_counts_by_namespace(cs)
     assert counts == {"layer_a": 2, "layer_b": 1}
     assert "constraints: 3" in summarize_circuit(cs)
+
+
+def test_proving_key_serialization_round_trip(small_proof):
+    from simpleworks_tpu.examples import manual_constraints
+    from simpleworks_tpu.marlin.serialization import (
+        deserialize_proving_key,
+        serialize_proving_key,
+    )
+
+    srs = marlin.universal_setup(100, 25, 300, marlin.generate_rand())
+    cs = manual_constraints.synthesize(3, 3)
+    pk, vk = marlin.index(srs, cs)
+    data = serialize_proving_key(pk)
+    pk2 = deserialize_proving_key(data)
+    proof = marlin.prove(pk2, cs)
+    assert marlin.verify(vk, [3], proof)
+
+
+def test_random_oracle_api():
+    from simpleworks_tpu.fields.bls12_377 import ConstraintF
+    from simpleworks_tpu.gadgets import UInt8Gadget
+    from simpleworks_tpu.hash.blake2s import blake2s_digest
+    from simpleworks_tpu.r1cs.constraint_system import ConstraintSystem
+    from simpleworks_tpu.schnorr.random_oracle import RO, ROGadget
+
+    params = RO.setup()
+    data = b"oracle input"
+    assert RO.evaluate(params, data) == blake2s_digest(data)
+    cs = ConstraintSystem(ConstraintF)
+    gadget_out = ROGadget.evaluate(cs, params, [UInt8Gadget.new_witness(cs, b) for b in data])
+    assert bytes(b.value() for b in gadget_out) == blake2s_digest(data)
+    assert cs.is_satisfied()
+
+
+def test_proof_pipeline():
+    from simpleworks_tpu.examples import manual_constraints
+    from simpleworks_tpu.parallel.proof_pipeline import prove_stream
+
+    srs = marlin.universal_setup(100, 25, 300, marlin.generate_rand())
+    cs0 = manual_constraints.synthesize(3, 3)
+    pk, vk = marlin.index(srs, cs0)
+    fns = [lambda v=v: manual_constraints.synthesize(v, v) for v in (3, 5, 8)]
+    proofs = prove_stream(pk, fns, max_workers=2)
+    for v, proof in zip((3, 5, 8), proofs):
+        assert marlin.verify(vk, [v], proof)

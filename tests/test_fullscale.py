@@ -1,0 +1,21 @@
+"""Reference-scale workloads (run explicitly: ``pytest -m fullscale``).
+
+These use the exact reference parameters — SRS(100_000, 25_000, 300_000),
+Pedersen windows 4×144 / 4×128 — and take minutes even with the native
+runtime; they are the TPU benchmark configurations (BASELINE.md)."""
+
+import pytest
+
+from simpleworks_tpu.merkle.simple_merkle_tree import SimpleMerkleTree
+
+pytestmark = [pytest.mark.slow, pytest.mark.fullscale]
+
+
+def test_simple_merkle_tree_reference_scale():
+    """reference src/merkle_tree/simple_merkle_tree.rs:276-292 at the real
+    scale: 8 leaves, height 4, SRS(100k, 25k, 300k)."""
+    tree = SimpleMerkleTree([1, 2, 3, 10, 9, 17, 70, 45])
+    path = tree.get_merkle_path(4)
+    proof_bytes = tree.prove(9, path)
+    assert tree.verify(proof_bytes, 9)
+    assert not tree.verify(proof_bytes, 8)
