@@ -33,17 +33,44 @@ from .msm import FixedBaseMSM, msm
 P = FR_MODULUS
 
 
-@dataclass
 class UniversalSRS:
-    """Powers of tau: [G, τG, τ²G, ...], H, τH."""
+    """Powers of tau: [G, τG, τ²G, ...], H, τH.
 
-    powers_of_g: list[G1Point]
-    h: G2Point
-    beta_h: G2Point
+    Primary storage is the native [N, 18]-u64 Jacobian array when the C++
+    runtime built it (one conversion, reused by every commit MSM); the
+    Python point list is materialized lazily otherwise.
+    """
+
+    def __init__(self, powers_of_g=None, h=None, beta_h=None, powers_native=None):
+        self._powers_list = powers_of_g
+        self.powers_native = powers_native
+        self.h = h
+        self.beta_h = beta_h
+
+    @property
+    def powers_of_g(self) -> list[G1Point]:
+        if self._powers_list is None:
+            from ..native import _points_from_native
+
+            self._powers_list = _points_from_native(self.powers_native)
+        return self._powers_list
+
+    @property
+    def num_powers(self) -> int:
+        if self.powers_native is not None:
+            return self.powers_native.shape[0]
+        return len(self._powers_list)
+
+    def first_power(self) -> G1Point:
+        if self._powers_list is not None:
+            return self._powers_list[0]
+        from ..native import _points_from_native
+
+        return _points_from_native(self.powers_native[:1])[0]
 
     @property
     def max_degree(self) -> int:
-        return len(self.powers_of_g) - 1
+        return self.num_powers - 1
 
 
 @dataclass
@@ -72,28 +99,41 @@ def setup(max_degree: int, rng) -> UniversalSRS:
     for _ in range(max_degree + 1):
         scalars.append(cur)
         cur = cur * tau % P
-    from ..native import available as native_available, g1_fixed_base
+    from .. import native
 
-    if native_available():
-        powers = g1_fixed_base(g, scalars)
-    else:
-        table = FixedBaseMSM(g, window_bits=8)
-        powers = [table.mul(s) for s in scalars]
     h = G2Point.generator()
     beta_h = h.scalar_mul(tau)
+    if native.available():
+        powers_native = native.g1_fixed_base_raw(g, scalars)
+        return UniversalSRS(h=h, beta_h=beta_h, powers_native=powers_native)
+    table = FixedBaseMSM(g, window_bits=8)
+    powers = [table.mul(s) for s in scalars]
     return UniversalSRS(powers_of_g=powers, h=h, beta_h=beta_h)
+
+
+def _srs_msm(srs: UniversalSRS, coeffs: list[int], offset: int = 0) -> G1Point:
+    """MSM of coefficients against SRS powers [offset, offset+len)."""
+    if not coeffs:
+        return G1Point.identity()
+    if srs.powers_native is not None:
+        from ..native import available as native_available, g1_msm_raw
+
+        if native_available():
+            return g1_msm_raw(
+                srs.powers_native[offset : offset + len(coeffs)], coeffs
+            )
+    return msm(srs.powers_of_g[offset : offset + len(coeffs)], coeffs)
 
 
 def commit(srs: UniversalSRS, poly: DensePoly, degree_bound: Optional[int] = None) -> Commitment:
     assert poly.degree() <= srs.max_degree, "polynomial exceeds SRS degree"
-    c = msm(srs.powers_of_g[: len(poly.coeffs)], poly.coeffs) if not poly.is_zero() else G1Point.identity()
+    c = _srs_msm(srs, poly.coeffs) if not poly.is_zero() else G1Point.identity()
     shifted = None
     if degree_bound is not None:
         assert poly.degree() <= degree_bound, (poly.degree(), degree_bound)
         shift = srs.max_degree - degree_bound
-        shifted_poly = poly.shift_up(shift)
         shifted = (
-            msm(srs.powers_of_g[shift : shift + len(poly.coeffs)], poly.coeffs)
+            _srs_msm(srs, poly.coeffs, offset=shift)
             if not poly.is_zero()
             else G1Point.identity()
         )
@@ -132,7 +172,7 @@ def batch_open(
     witness, _rem = combined.divide_by_linear(point)
     if witness.is_zero():
         return G1Point.identity()
-    return msm(srs.powers_of_g[: len(witness.coeffs)], witness.coeffs)
+    return _srs_msm(srs, witness.coeffs)
 
 
 def batch_check(

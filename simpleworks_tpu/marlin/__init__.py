@@ -113,7 +113,7 @@ def index(srs: UniversalSRS, cs) -> tuple[IndexProverKey, IndexVerifierKey]:
     vk = IndexVerifierKey(
         info=idx.info,
         index_commitments=commitments,
-        g=srs.powers_of_g[0],
+        g=srs.first_power(),
         h=srs.h,
         beta_h=srs.beta_h,
         srs_max_degree=srs.max_degree,

@@ -190,3 +190,29 @@ def g1_fixed_base(base, scalars: list[int]):
     out = np.zeros((len(scalars), 18), dtype="<u8")
     lib.swtpu_g1_fixed_base(ctypes.byref(ctx), _u64p(b), _u64p(scs), len(scalars), _u64p(out))
     return _points_from_native(out)
+
+
+def g1_fixed_base_raw(base, scalars: list[int]) -> np.ndarray:
+    """out[i] = scalars[i]·base as a raw native array [N, 18] (Jacobian
+    Montgomery) — the SRS storage format."""
+    lib = _lib()
+    ctx = _ctx_for("fq")
+    b = _points_to_native([base])
+    scs = ints_to_limbs64([int(s) for s in scalars], 4)
+    out = np.zeros((len(scalars), 18), dtype="<u8")
+    lib.swtpu_g1_fixed_base(ctypes.byref(ctx), _u64p(b), _u64p(scs), len(scalars), _u64p(out))
+    return out
+
+
+def g1_msm_raw(points_native: np.ndarray, scalars: list[int], window_bits: int = 13):
+    """Pippenger MSM over a preconverted native point array (no per-call
+    point conversion — the SRS commit path)."""
+    lib = _lib()
+    ctx = _ctx_for("fq")
+    pts = np.ascontiguousarray(points_native, dtype="<u8")
+    scs = ints_to_limbs64([int(s) for s in scalars], 4)
+    out = np.zeros((1, 18), dtype="<u8")
+    lib.swtpu_g1_msm(
+        ctypes.byref(ctx), _u64p(pts), _u64p(scs), pts.shape[0], window_bits, _u64p(out)
+    )
+    return _points_from_native(out)[0]

@@ -19,3 +19,26 @@ def test_simple_merkle_tree_reference_scale():
     proof_bytes = tree.prove(9, path)
     assert tree.verify(proof_bytes, 9)
     assert not tree.verify(proof_bytes, 8)
+
+
+def test_schnorr_marlin_reference_scale():
+    """reference examples/schnorr-signature/main.rs:177-209: full Marlin
+    prove/verify over the Schnorr verification circuit,
+    SRS(100k, 25k, 300k), empty public inputs."""
+    from simpleworks_tpu import marlin
+    from simpleworks_tpu.examples.schnorr_circuit import synthesize
+    from simpleworks_tpu.schnorr import schnorr
+    from simpleworks_tpu.utils.rng import test_rng
+
+    rng = test_rng()
+    params = schnorr.setup(rng)
+    pk_s, sk = schnorr.keygen(params, rng)
+    message = b"a message to sign"
+    sig = schnorr.sign(params, sk, message, rng)
+    cs = synthesize(params, pk_s, message, sig)
+    assert cs.is_satisfied()
+
+    srs = marlin.universal_setup(100_000, 25_000, 300_000, marlin.generate_rand())
+    pk, vk = marlin.index(srs, cs)
+    proof = marlin.prove(pk, cs)
+    assert marlin.verify(vk, [], proof)
