@@ -376,3 +376,31 @@ void swtpu_g1_fixed_base(const FpCtx* c, const G1* base, const uint64_t* scalars
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------- extras ----
+
+extern "C" {
+
+// acc += scalar * poly  (all Montgomery form), elementwise over count limbs-vectors
+void swtpu_fp_axpy(const FpCtx* c, uint64_t* acc, const uint64_t* poly,
+                   const uint64_t* scalar_mont, size_t count) {
+    uint64_t tmp[6];
+    for (size_t i = 0; i < count; ++i) {
+        fp_mul(c, poly + i * c->n, scalar_mont, tmp);
+        fp_add(c, acc + i * c->n, tmp, acc + i * c->n);
+    }
+}
+
+// Horner evaluation: out = sum coeffs[i] * z^i  (Montgomery form in/out)
+void swtpu_fp_horner(const FpCtx* c, const uint64_t* coeffs, size_t count,
+                     const uint64_t* z_mont, uint64_t* out) {
+    uint64_t acc[6];
+    fp_set_zero(c, acc);
+    for (size_t i = count; i-- > 0;) {
+        fp_mul(c, acc, z_mont, acc);
+        fp_add(c, acc, coeffs + i * c->n, acc);
+    }
+    std::memcpy(out, acc, c->n * 8);
+}
+
+}  // extern "C"

@@ -166,9 +166,23 @@ def batch_open(
     xi: int,
 ) -> G1Point:
     """Combined witness for all polys (and shifted twins) at ``point``."""
-    combined = DensePoly.zero()
-    for weight, poly, _comm, _value in _batch_terms(labeled, srs.max_degree, point, xi):
-        combined = combined + poly.scale(weight)
+    terms = list(_batch_terms(labeled, srs.max_degree, point, xi))
+    total = sum(len(p.coeffs) for _, p, _, _ in terms)
+    if total >= 4096:
+        from ..native import available as native_available, fr_combine
+
+        if native_available():
+            combined = DensePoly(
+                fr_combine([(p.coeffs, w) for w, p, _, _ in terms if not p.is_zero()])
+            )
+        else:
+            combined = DensePoly.zero()
+            for weight, poly, _comm, _value in terms:
+                combined = combined + poly.scale(weight)
+    else:
+        combined = DensePoly.zero()
+        for weight, poly, _comm, _value in terms:
+            combined = combined + poly.scale(weight)
     witness, _rem = combined.divide_by_linear(point)
     if witness.is_zero():
         return G1Point.identity()

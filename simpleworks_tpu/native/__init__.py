@@ -216,3 +216,54 @@ def g1_msm_raw(points_native: np.ndarray, scalars: list[int], window_bits: int =
         ctypes.byref(ctx), _u64p(pts), _u64p(scs), pts.shape[0], window_bits, _u64p(out)
     )
     return _points_from_native(out)[0]
+
+
+def _register_extras(lib):
+    import ctypes as _ct
+
+    u64p = _ct.POINTER(_ct.c_uint64)
+    ctxp = _ct.POINTER(_FpCtx)
+    lib.swtpu_fp_axpy.argtypes = [ctxp, u64p, u64p, u64p, _ct.c_size_t]
+    lib.swtpu_fp_horner.argtypes = [ctxp, u64p, _ct.c_size_t, u64p, u64p]
+
+
+def fr_combine(polys_with_weights) -> list[int]:
+    """Σ w_i · p_i over Fr (standard-form coeff lists in/out) — the KZG
+    batch-open combiner."""
+    from ..fields.bls12_377 import Fr, FR_MODULUS
+
+    lib = _lib()
+    _register_extras(lib)
+    ctx = _ctx_for("fr")
+    R = Fr.PARAMS.montgomery_r
+    n = max((len(p) for p, _ in polys_with_weights), default=0)
+    if n == 0:
+        return []
+    acc = np.zeros((n, 4), dtype="<u8")
+    for coeffs, weight in polys_with_weights:
+        if not coeffs:
+            continue
+        pm = ints_to_limbs64([c * R % FR_MODULUS for c in coeffs], 4)
+        wm = ints_to_limbs64([weight * R % FR_MODULUS], 4)
+        lib.swtpu_fp_axpy(ctypes.byref(ctx), _u64p(acc), _u64p(pm), _u64p(wm), len(coeffs))
+    # acc = Mont(c)·Mont(w)·R^{-1} summed = Mont(Σ w·c): one R factor to undo
+    rinv = pow(R, -1, FR_MODULUS)
+    return [v * rinv % FR_MODULUS for v in limbs64_to_ints(acc)]
+
+
+def fr_horner(coeffs: list[int], z: int) -> int:
+    """Polynomial evaluation at z over Fr (standard form)."""
+    from ..fields.bls12_377 import Fr, FR_MODULUS
+
+    if not coeffs:
+        return 0
+    lib = _lib()
+    _register_extras(lib)
+    ctx = _ctx_for("fr")
+    R = Fr.PARAMS.montgomery_r
+    cm = ints_to_limbs64([c * R % FR_MODULUS for c in coeffs], 4)
+    zm = ints_to_limbs64([z * R % FR_MODULUS], 4)
+    out = np.zeros((1, 4), dtype="<u8")
+    lib.swtpu_fp_horner(ctypes.byref(ctx), _u64p(cm), len(coeffs), _u64p(zm), _u64p(out))
+    rinv = pow(R, -1, FR_MODULUS)
+    return limbs64_to_ints(out)[0] * rinv % FR_MODULUS

@@ -42,6 +42,11 @@ class DensePoly:
         return not self.coeffs
 
     def evaluate(self, point: int) -> int:
+        if len(self.coeffs) >= 1024:
+            from ..native import available as native_available, fr_horner
+
+            if native_available():
+                return fr_horner(self.coeffs, point % P)
         acc = 0
         for c in reversed(self.coeffs):
             acc = (acc * point + c) % P

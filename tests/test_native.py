@@ -47,3 +47,33 @@ def test_native_fixed_base():
     got = native.g1_fixed_base(g, scalars)
     for s, p in zip(scalars, got):
         assert p == g.scalar_mul(s)
+
+
+def test_native_combine_and_horner():
+    p = FR_MODULUS
+    polys = [
+        ([rnd.randrange(p) for _ in range(20)], rnd.randrange(p)),
+        ([rnd.randrange(p) for _ in range(35)], rnd.randrange(p)),
+    ]
+    got = native.fr_combine(polys)
+    expected = [0] * 35
+    for coeffs, w in polys:
+        for i, c in enumerate(coeffs):
+            expected[i] = (expected[i] + w * c) % p
+    assert got == expected
+
+    coeffs = [rnd.randrange(p) for _ in range(50)]
+    z = rnd.randrange(p)
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * z + c) % p
+    assert native.fr_horner(coeffs, z) == acc
+
+
+def test_native_msm_raw_matches():
+    g = G1Point.generator()
+    points = [g.scalar_mul(i + 2) for i in range(40)]
+    scalars = [rnd.randrange(FR_MODULUS) for _ in range(40)]
+    pts_native = native._points_to_native(points)
+    got = native.g1_msm_raw(pts_native, scalars)
+    assert got == msm(points, scalars)
