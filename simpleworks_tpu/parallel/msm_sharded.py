@@ -31,7 +31,7 @@ def scalars_to_bits(scalars: list[int], num_bits: int = 253) -> np.ndarray:
     return bits
 
 
-def _local_msm(px, py, pz, bits):
+def _local_msm(px, py, pz, bits, axis_name=None):
     """Batched ladder: acc_i = s_i · P_i, then lane tree-reduce.
     px/py/pz: [n_local, L]; bits: [n_local, num_bits]."""
 
@@ -43,6 +43,9 @@ def _local_msm(px, py, pz, bits):
         return (acc, base), None
 
     acc0 = g1d.identity_like((px.shape[0],))
+    if axis_name is not None:
+        # inside shard_map the carry must carry the varying-axis type
+        acc0 = tuple(jax.lax.pvary(x, (axis_name,)) for x in acc0)
     (acc, _base), _ = jax.lax.scan(step, (acc0, (px, py, pz)), bits.T)
     return g1d.tree_reduce(acc)
 
@@ -52,7 +55,7 @@ def make_sharded_msm(mesh: Mesh, axis_name: str, num_bits: int = 253):
     Jacobian point (replicated)."""
 
     def local_step(px, py, pz, bits):
-        part = _local_msm(px, py, pz, bits)  # ([1,L],)*3
+        part = _local_msm(px, py, pz, bits, axis_name=axis_name)  # ([1,L],)*3
         # combine partial sums across devices
         gx = jax.lax.all_gather(part[0], axis_name, axis=0, tiled=True)
         gy = jax.lax.all_gather(part[1], axis_name, axis=0, tiled=True)
