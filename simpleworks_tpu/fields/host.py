@@ -123,7 +123,32 @@ class Fp:
                 return cls(repr_int * params.montgomery_r_inv % params.modulus)
 
     @classmethod
-    def from_random_bytes(cls, data: bytes):
+    def rand_vec(cls, rng, count: int) -> list[int]:
+        """``count`` samples with byte-identical stream consumption to
+        ``count`` sequential ``rand`` calls, but pulling the keystream in
+        bulk (vectorized ChaCha) — used by the Marlin zk mask sampler."""
+        params = cls.PARAMS
+        mask = (1 << (params.repr_bits - params.repr_shave_bits)) - 1
+        r_inv = params.montgomery_r_inv
+        p = params.modulus
+        nbytes = params.repr_bits // 8
+        wpi = nbytes // 4  # keystream words per sampling attempt
+        out: list[int] = []
+        while len(out) < count:
+            # each attempt consumes exactly wpi words; ~1.72 attempts/sample
+            # for Fr (acceptance p/2^253 ≈ 0.58); over-draw and unget the rest
+            attempts = max(32, int((count - len(out)) * 1.9) + 8)
+            words = rng.take_words(attempts * wpi)
+            buf = words.astype("<u4").tobytes()
+            for i in range(attempts):
+                repr_int = int.from_bytes(buf[i * nbytes : (i + 1) * nbytes], "little") & mask
+                if repr_int < p:
+                    out.append(repr_int * r_inv % p)
+                    if len(out) == count:
+                        if i + 1 < attempts:
+                            rng.unget(words[(i + 1) * wpi :])
+                        return out
+        return out
         """arkworks ``from_random_bytes``: interpret as LE repr limbs with the
         top shave bits masked; None (here: raises) if >= modulus."""
         params = cls.PARAMS

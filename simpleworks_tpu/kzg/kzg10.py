@@ -11,11 +11,15 @@ Replaces ``ark_poly_commit::marlin_pc::MarlinKZG10``
 * batch open at a point z: one witness W = [Σ ξ^i (p_i(X)-p_i(z))/(X-z)]·G
   where degree-bounded polys contribute their shifted twin with claimed
   value z^(D-d)·p(z)
-* batch check: e(Σ ξ^i C_i - [Σ ξ^i v_i]·G, H) == e(W, βH - zH)
+* batch check: e(Σ ξ^i C_i - [Σ ξ^i v_i]·G - r(z)·γG, H) == e(W, βH - zH)
 
-Commitments are deterministic (no hiding randomness): these proofs attest
-validity, not zero-knowledge — the zk hiding layer is a planned extension
-(documented deviation from MarlinKZG's hiding mode).
+**Hiding mode** (MarlinKZG10's zk layer): the SRS carries a second table of
+powers γG, τγG, ... (small — only up to the blinding degree).  A hiding
+commitment is C = p(τ)G + r(τ)γG with r a random blinding polynomial of
+degree hiding_bound+1; the batch opening witness gains the combined
+blinding quotient on the γ-table and the proof carries the combined
+blinding evaluation r(z) (``random_v``).  Non-hiding commitments are the
+r = 0 special case, so both kinds mix freely in one batch.
 """
 
 from __future__ import annotations
@@ -33,19 +37,33 @@ from .msm import FixedBaseMSM, msm
 P = FR_MODULUS
 
 
+#: degree of the blinding polynomials (hiding_bound=1 opening per point,
+#: +1 as in ark-poly-commit's ``Randomness::rand``)
+HIDING_POLY_DEGREE = 2
+#: γ-power table length: enough for blinding polys of degree HIDING_POLY_DEGREE
+NUM_GAMMA_POWERS = HIDING_POLY_DEGREE + 1
+
+
 class UniversalSRS:
-    """Powers of tau: [G, τG, τ²G, ...], H, τH.
+    """Powers of tau: [G, τG, τ²G, ...], H, τH, plus the γ-powers
+    [γG, τγG, ...] for hiding commitments.
 
     Primary storage is the native [N, 18]-u64 Jacobian array when the C++
     runtime built it (one conversion, reused by every commit MSM); the
     Python point list is materialized lazily otherwise.
     """
 
-    def __init__(self, powers_of_g=None, h=None, beta_h=None, powers_native=None):
+    def __init__(self, powers_of_g=None, h=None, beta_h=None, powers_native=None,
+                 powers_of_gamma_g=None):
         self._powers_list = powers_of_g
         self.powers_native = powers_native
         self.h = h
         self.beta_h = beta_h
+        self.powers_of_gamma_g = powers_of_gamma_g
+
+    @property
+    def gamma_g(self) -> G1Point:
+        return self.powers_of_gamma_g[0]
 
     @property
     def powers_of_g(self) -> list[G1Point]:
@@ -88,11 +106,12 @@ class Commitment:
 
 
 def setup(max_degree: int, rng) -> UniversalSRS:
-    """Sample τ and build the powers table (fixed-base windowed muls).
+    """Sample τ, γ and build the powers tables (fixed-base windowed muls).
 
     The group generators are the pinned curve generators (arkworks samples
     random group elements here; semantics identical, vectors differ)."""
     tau = Fr.rand(rng).value
+    gamma = Fr.rand(rng).value
     g = G1Point.generator()
     scalars = []
     cur = 1
@@ -103,12 +122,17 @@ def setup(max_degree: int, rng) -> UniversalSRS:
 
     h = G2Point.generator()
     beta_h = h.scalar_mul(tau)
+    table = FixedBaseMSM(g, window_bits=8)
+    gamma_powers = [
+        table.mul(gamma * pow(tau, i, P) % P) for i in range(NUM_GAMMA_POWERS)
+    ]
     if native.available():
         powers_native = native.g1_fixed_base_raw(g, scalars)
-        return UniversalSRS(h=h, beta_h=beta_h, powers_native=powers_native)
-    table = FixedBaseMSM(g, window_bits=8)
+        return UniversalSRS(h=h, beta_h=beta_h, powers_native=powers_native,
+                            powers_of_gamma_g=gamma_powers)
     powers = [table.mul(s) for s in scalars]
-    return UniversalSRS(powers_of_g=powers, h=h, beta_h=beta_h)
+    return UniversalSRS(powers_of_g=powers, h=h, beta_h=beta_h,
+                        powers_of_gamma_g=gamma_powers)
 
 
 def _srs_msm(srs: UniversalSRS, coeffs: list[int], offset: int = 0) -> G1Point:
@@ -125,9 +149,47 @@ def _srs_msm(srs: UniversalSRS, coeffs: list[int], offset: int = 0) -> G1Point:
     return msm(srs.powers_of_g[offset : offset + len(coeffs)], coeffs)
 
 
-def commit(srs: UniversalSRS, poly: DensePoly, degree_bound: Optional[int] = None) -> Commitment:
+@dataclass
+class Randomness:
+    """Blinding polynomials of one hiding commitment (and its shifted twin)."""
+
+    blind: DensePoly
+    shifted_blind: Optional[DensePoly] = None
+
+    @staticmethod
+    def empty(has_shift: bool = False) -> "Randomness":
+        return Randomness(
+            blind=DensePoly.zero(),
+            shifted_blind=DensePoly.zero() if has_shift else None,
+        )
+
+    @staticmethod
+    def rand(rng, has_shift: bool = False) -> "Randomness":
+        blind = DensePoly([Fr.rand(rng).value for _ in range(HIDING_POLY_DEGREE + 1)])
+        shifted = (
+            DensePoly([Fr.rand(rng).value for _ in range(HIDING_POLY_DEGREE + 1)])
+            if has_shift
+            else None
+        )
+        return Randomness(blind=blind, shifted_blind=shifted)
+
+
+def _gamma_msm(srs: UniversalSRS, coeffs: list[int]) -> G1Point:
+    assert len(coeffs) <= len(srs.powers_of_gamma_g), "blinding degree exceeds γ-table"
+    return msm(srs.powers_of_gamma_g[: len(coeffs)], coeffs)
+
+
+def commit(srs: UniversalSRS, poly: DensePoly, degree_bound: Optional[int] = None,
+           hiding_rng=None) -> Commitment | tuple[Commitment, Randomness]:
+    """Commit to ``poly``; with ``hiding_rng`` the commitment is hiding and a
+    ``(Commitment, Randomness)`` pair is returned (the prover must keep the
+    randomness for ``batch_open``)."""
     assert poly.degree() <= srs.max_degree, "polynomial exceeds SRS degree"
     c = _srs_msm(srs, poly.coeffs) if not poly.is_zero() else G1Point.identity()
+    rand = None
+    if hiding_rng is not None:
+        rand = Randomness.rand(hiding_rng, has_shift=degree_bound is not None)
+        c = c.add(_gamma_msm(srs, rand.blind.coeffs))
     shifted = None
     if degree_bound is not None:
         assert poly.degree() <= degree_bound, (poly.degree(), degree_bound)
@@ -137,25 +199,35 @@ def commit(srs: UniversalSRS, poly: DensePoly, degree_bound: Optional[int] = Non
             if not poly.is_zero()
             else G1Point.identity()
         )
-    return Commitment(comm=c, shifted_comm=shifted, degree_bound=degree_bound)
+        if rand is not None:
+            shifted = shifted.add(_gamma_msm(srs, rand.shifted_blind.coeffs))
+    comm = Commitment(comm=c, shifted_comm=shifted, degree_bound=degree_bound)
+    return (comm, rand) if hiding_rng is not None else comm
 
 
 def _batch_terms(labeled: list[tuple[DensePoly | None, Commitment | None, int, Optional[int]]],
-                 max_degree: int, point: int, xi: int):
-    """Yield (poly, comm, value) triples including shifted twins, with the
-    ξ-power weights, in a canonical order shared by prover and verifier.
+                 max_degree: int, point: int, xi: int,
+                 rands: Optional[list[Optional[Randomness]]] = None):
+    """Yield (weight, poly, comm, value, blind) tuples including shifted
+    twins, in a canonical order shared by prover and verifier.
 
     ``labeled`` entries: (poly or None, comm or None, claimed value, bound).
+    ``rands`` (prover-side) aligns with ``labeled``; None entries mean a
+    non-hiding commitment (zero blinding).
     """
     weight = 1
-    for poly, comm_obj, value, bound in labeled:
-        yield weight, poly, (comm_obj.comm if comm_obj else None), value
+    for i, (poly, comm_obj, value, bound) in enumerate(labeled):
+        rand = rands[i] if rands is not None else None
+        blind = rand.blind if rand is not None else None
+        yield weight, poly, (comm_obj.comm if comm_obj else None), value, blind
         weight = weight * xi % P
         if bound is not None:
             shift = max_degree - bound
             shifted_value = pow(point, shift, P) * value % P
             shifted_poly = poly.shift_up(shift) if poly is not None else None
-            yield weight, shifted_poly, (comm_obj.shifted_comm if comm_obj else None), shifted_value
+            shifted_blind = rand.shifted_blind if rand is not None else None
+            yield (weight, shifted_poly, (comm_obj.shifted_comm if comm_obj else None),
+                   shifted_value, shifted_blind)
             weight = weight * xi % P
 
 
@@ -164,29 +236,43 @@ def batch_open(
     labeled: list[tuple[DensePoly, Commitment | None, int, Optional[int]]],
     point: int,
     xi: int,
-) -> G1Point:
-    """Combined witness for all polys (and shifted twins) at ``point``."""
-    terms = list(_batch_terms(labeled, srs.max_degree, point, xi))
-    total = sum(len(p.coeffs) for _, p, _, _ in terms)
+    rands: Optional[list[Optional[Randomness]]] = None,
+) -> tuple[G1Point, int]:
+    """Combined witness for all polys (and shifted twins) at ``point``.
+
+    Returns ``(W, random_v)``: the opening witness (G- and γ-components
+    summed) and the combined blinding evaluation r(point) the verifier
+    needs for the hiding check (0 when nothing is hiding)."""
+    terms = list(_batch_terms(labeled, srs.max_degree, point, xi, rands))
+    total = sum(len(p.coeffs) for _, p, _, _, _ in terms)
     if total >= 4096:
         from ..native import available as native_available, fr_combine
 
         if native_available():
             combined = DensePoly(
-                fr_combine([(p.coeffs, w) for w, p, _, _ in terms if not p.is_zero()])
+                fr_combine([(p.coeffs, w) for w, p, _, _, _ in terms if not p.is_zero()])
             )
         else:
             combined = DensePoly.zero()
-            for weight, poly, _comm, _value in terms:
+            for weight, poly, _comm, _value, _blind in terms:
                 combined = combined + poly.scale(weight)
     else:
         combined = DensePoly.zero()
-        for weight, poly, _comm, _value in terms:
+        for weight, poly, _comm, _value, _blind in terms:
             combined = combined + poly.scale(weight)
+    combined_blind = DensePoly.zero()
+    for weight, _poly, _comm, _value, blind in terms:
+        if blind is not None and not blind.is_zero():
+            combined_blind = combined_blind + blind.scale(weight)
     witness, _rem = combined.divide_by_linear(point)
-    if witness.is_zero():
-        return G1Point.identity()
-    return _srs_msm(srs, witness.coeffs)
+    w_point = _srs_msm(srs, witness.coeffs) if not witness.is_zero() else G1Point.identity()
+    random_v = 0
+    if not combined_blind.is_zero():
+        random_v = combined_blind.evaluate(point)
+        blind_witness, _ = combined_blind.divide_by_linear(point)
+        if not blind_witness.is_zero():
+            w_point = w_point.add(_gamma_msm(srs, blind_witness.coeffs))
+    return w_point, random_v
 
 
 def batch_check(
@@ -198,15 +284,20 @@ def batch_check(
     point: int,
     witness: G1Point,
     xi: int,
+    gamma_g: Optional[G1Point] = None,
+    random_v: int = 0,
 ) -> bool:
-    """e(C_combined - v·G, H) == e(W, βH - zH)."""
+    """e(C_combined - v·G - r(z)·γG, H) == e(W, βH - zH)."""
     combined_c = G1Point.identity()
     combined_v = 0
-    for weight, _poly, comm, value in _batch_terms(labeled, max_degree, point, xi):
+    for weight, _poly, comm, value, _blind in _batch_terms(labeled, max_degree, point, xi):
         assert comm is not None
         combined_c = combined_c.add(comm.scalar_mul(weight))
         combined_v = (combined_v + weight * value) % P
     lhs = combined_c.add(srs_g.scalar_mul(combined_v).neg())
+    if random_v % P:
+        assert gamma_g is not None, "hiding check requires γG in the verifying key"
+        lhs = lhs.add(gamma_g.scalar_mul(random_v % P).neg())
     # beta_h - z·h
     beta_minus_z_h = beta_h.add(h.scalar_mul(point).neg())
     result = multi_pairing([(lhs, h), (witness.neg(), beta_minus_z_h)])

@@ -34,7 +34,7 @@ P = FR_MODULUS
 PROTOCOL_NAME = b"SIMPLEWORKS-TPU-MARLIN-2026"
 
 #: canonical query orderings shared by prover and verifier
-BETA_POLYS = ["w", "z_a", "z_b", "t", "g_1", "h_1"]
+BETA_POLYS = ["w", "z_a", "z_b", "mask", "t", "g_1", "h_1"]
 GAMMA_POLYS = [
     "g_2", "h_2",
     "row_a", "col_a", "val_a",
@@ -52,6 +52,7 @@ class IndexVerifierKey:
     h: G2Point
     beta_h: G2Point
     srs_max_degree: int
+    gamma_g: Optional[G1Point] = None  # hiding-check generator γG
 
     def digest(self) -> bytes:
         data = b"".join(
@@ -79,6 +80,9 @@ class MarlinProof:
     evaluations: dict[str, int]
     pc_proof_beta: G1Point
     pc_proof_gamma: G1Point
+    # combined blinding evaluations r(β), r(γ) of the hiding commitments
+    pc_rand_beta: int = 0
+    pc_rand_gamma: int = 0
 
 
 def generate_rand():
@@ -117,6 +121,7 @@ def index(srs: UniversalSRS, cs) -> tuple[IndexProverKey, IndexVerifierKey]:
         h=srs.h,
         beta_h=srs.beta_h,
         srs_max_degree=srs.max_degree,
+        gamma_g=srs.gamma_g if srs.powers_of_gamma_g else None,
     )
     return IndexProverKey(index=idx, srs=srs, vk=vk), vk
 
@@ -138,10 +143,16 @@ def _degree_bounds(info: ahp.IndexInfo) -> dict[str, Optional[int]]:
 
 
 def prove(pk: IndexProverKey, cs, rng=None) -> MarlinProof:
-    """Three-round AHP + batched KZG openings
-    (reference MarlinInst::prove / prove_from_constraint_system)."""
+    """Three-round zk AHP + batched hiding KZG openings
+    (reference MarlinInst::prove / prove_from_constraint_system).
+
+    ``rng`` supplies the zero-knowledge randomness (v_H-randomizers, the
+    sumcheck mask polynomial, KZG blinding); defaults to the deterministic
+    test RNG as the reference's tests do (src/marlin/mod.rs:33-35)."""
     if not cs.is_satisfied():
         raise ValueError(f"constraint system unsatisfied at {cs.which_is_unsatisfied()}")
+    if rng is None:
+        rng = test_rng()
     idx, srs, info = pk.index, pk.srs, pk.index.info
     bounds = _degree_bounds(info)
 
@@ -149,20 +160,25 @@ def prove(pk: IndexProverKey, cs, rng=None) -> MarlinProof:
         PROTOCOL_NAME + pk.vk.digest() + _serialize_instance(cs.instance_assignment)
     )
 
-    r1 = ahp.prover_round1(idx, cs)
-    comms: dict[str, Commitment] = {
-        "w": kzg10.commit(srs, r1.w_poly),
-        "z_a": kzg10.commit(srs, r1.z_a_poly),
-        "z_b": kzg10.commit(srs, r1.z_b_poly),
-    }
-    fs.absorb(b"".join(comms[n].serialize() for n in ["w", "z_a", "z_b"]))
+    zk_rands = tuple(Fr.rand(rng).value for _ in range(3))
+    r1 = ahp.prover_round1(idx, cs, zk_rands=zk_rands)
+    mask_poly = ahp.sample_mask_poly(info, rng)
+    comms: dict[str, Commitment] = {}
+    rands: dict[str, kzg10.Randomness] = {}
+    comms["w"], rands["w"] = kzg10.commit(srs, r1.w_poly, hiding_rng=rng)
+    comms["z_a"], rands["z_a"] = kzg10.commit(srs, r1.z_a_poly, hiding_rng=rng)
+    comms["z_b"], rands["z_b"] = kzg10.commit(srs, r1.z_b_poly, hiding_rng=rng)
+    comms["mask"], rands["mask"] = kzg10.commit(srs, mask_poly, hiding_rng=rng)
+    fs.absorb(b"".join(comms[n].serialize() for n in ["w", "z_a", "z_b", "mask"]))
     alpha = fs.squeeze_field_element()
     etas = fs.squeeze_field_elements(3)
 
-    r2 = ahp.prover_round2(idx, cs, r1, alpha, etas)
+    r2 = ahp.prover_round2(idx, cs, r1, alpha, etas, mask_poly=mask_poly)
     comms["t"] = kzg10.commit(srs, r2.t_poly)
-    comms["g_1"] = kzg10.commit(srs, r2.g_1_poly, degree_bound=bounds["g_1"])
-    comms["h_1"] = kzg10.commit(srs, r2.h_1_poly)
+    comms["g_1"], rands["g_1"] = kzg10.commit(
+        srs, r2.g_1_poly, degree_bound=bounds["g_1"], hiding_rng=rng
+    )
+    comms["h_1"], rands["h_1"] = kzg10.commit(srs, r2.h_1_poly, hiding_rng=rng)
     fs.absorb(b"".join(comms[n].serialize() for n in ["t", "g_1", "h_1"]))
     beta = fs.squeeze_field_element()
 
@@ -174,6 +190,7 @@ def prove(pk: IndexProverKey, cs, rng=None) -> MarlinProof:
 
     polys: dict[str, DensePoly] = {
         "w": r1.w_poly, "z_a": r1.z_a_poly, "z_b": r1.z_b_poly,
+        "mask": mask_poly,
         "t": r2.t_poly, "g_1": r2.g_1_poly, "h_1": r2.h_1_poly,
         "g_2": r3.g_2_poly, "h_2": r3.h_2_poly,
     }
@@ -201,14 +218,18 @@ def prove(pk: IndexProverKey, cs, rng=None) -> MarlinProof:
     gamma_batch = [
         (polys[n], all_comms[n], evaluations[n], bounds[n]) for n in GAMMA_POLYS
     ]
-    pc_beta = kzg10.batch_open(srs, beta_batch, beta, xi)
-    pc_gamma = kzg10.batch_open(srs, gamma_batch, gamma, xi)
+    beta_rands = [rands.get(n) for n in BETA_POLYS]
+    gamma_rands = [rands.get(n) for n in GAMMA_POLYS]
+    pc_beta, rand_beta = kzg10.batch_open(srs, beta_batch, beta, xi, rands=beta_rands)
+    pc_gamma, rand_gamma = kzg10.batch_open(srs, gamma_batch, gamma, xi, rands=gamma_rands)
 
     return MarlinProof(
         commitments=comms,
         evaluations=evaluations,
         pc_proof_beta=pc_beta,
         pc_proof_gamma=pc_gamma,
+        pc_rand_beta=rand_beta,
+        pc_rand_gamma=rand_gamma,
     )
 
 
@@ -227,7 +248,7 @@ def verify(vk: IndexVerifierKey, public_inputs: list[int], proof: MarlinProof, r
     fs = FiatShamirRng(PROTOCOL_NAME + vk.digest() + _serialize_instance(instance))
     comms = proof.commitments
     try:
-        fs.absorb(b"".join(comms[n].serialize() for n in ["w", "z_a", "z_b"]))
+        fs.absorb(b"".join(comms[n].serialize() for n in ["w", "z_a", "z_b", "mask"]))
         alpha = fs.squeeze_field_element()
         etas = fs.squeeze_field_elements(3)
         fs.absorb(b"".join(comms[n].serialize() for n in ["t", "g_1", "h_1"]))
@@ -250,11 +271,13 @@ def verify(vk: IndexVerifierKey, public_inputs: list[int], proof: MarlinProof, r
     beta_batch = [(None, all_comms[n], evals[n], bounds[n]) for n in BETA_POLYS]
     gamma_batch = [(None, all_comms[n], evals[n], bounds[n]) for n in GAMMA_POLYS]
     if not kzg10.batch_check(
-        vk.g, vk.h, vk.beta_h, vk.srs_max_degree, beta_batch, beta, proof.pc_proof_beta, xi
+        vk.g, vk.h, vk.beta_h, vk.srs_max_degree, beta_batch, beta, proof.pc_proof_beta, xi,
+        gamma_g=vk.gamma_g, random_v=proof.pc_rand_beta,
     ):
         return False
     if not kzg10.batch_check(
-        vk.g, vk.h, vk.beta_h, vk.srs_max_degree, gamma_batch, gamma, proof.pc_proof_gamma, xi
+        vk.g, vk.h, vk.beta_h, vk.srs_max_degree, gamma_batch, gamma, proof.pc_proof_gamma, xi,
+        gamma_g=vk.gamma_g, random_v=proof.pc_rand_gamma,
     ):
         return False
     return True

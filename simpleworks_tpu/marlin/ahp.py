@@ -18,9 +18,16 @@ from the Marlin paper with ark-marlin's two-sumcheck R1CS shape:
 indexing time).  Public inputs are interpolated over the first ℓ = 2^k
 elements of H, with ẑ = ŵ·v_X + x̂.
 
-Deviations from ark-marlin, documented: no zk mask polynomial (validity
-proofs, not zero-knowledge); x̂ over a power-prefix of H instead of a
-subgroup; self-consistent (not byte-compatible) transcripts.
+**Zero-knowledge** (matching ark-marlin's zk strategy): round 1 randomizes
+ŵ, ẑ_A, ẑ_B by adding rᵢ·v_H (rᵢ random constants — vanishing on H, so the
+sumcheck identities are untouched while any single off-H evaluation is
+uniform), and commits a mask polynomial s(X) of degree 3n−1 with zero
+H-sum which is added into the outer sumcheck q₁.  Together with hiding KZG
+commitments (:mod:`simpleworks_tpu.kzg.kzg10`) the opened evaluations and
+commitments reveal nothing about the witness.
+
+Deviations from ark-marlin, documented: x̂ over a power-prefix of H instead
+of a subgroup; self-consistent (not byte-compatible) transcripts.
 """
 
 from __future__ import annotations
@@ -85,10 +92,13 @@ class Index:
 
 
 def max_degree_for(num_constraints: int, num_variables: int, num_non_zero: int) -> int:
-    """SRS degree needed: max(3n−3 outer, 6m−6 inner)."""
+    """SRS degree needed: max(3n−1 outer incl. zk mask, 6m−6 inner).
+
+    The outer bound is 3n−1 (not 3n−3) because the zk randomization lifts
+    deg ẑ_A·ẑ_B to 2n and the mask polynomial spans the full q₁ degree."""
     n = next_pow2(max(num_constraints, num_variables, 2))
     m = next_pow2(max(num_non_zero, 2))
-    return max(3 * n - 3, 6 * m - 6)
+    return max(3 * n - 1, 6 * m - 6)
 
 
 def _map_column(col: int, num_instance: int, ell: int) -> int:
@@ -139,7 +149,7 @@ def index_matrices(cs) -> Index:
         num_instance=num_instance,
         domain_h_size=n,
         domain_k_size=m,
-        max_degree=max(3 * n - 3, 6 * m - 6),
+        max_degree=max(3 * n - 1, 6 * m - 6),
     )
     return Index(info=info, matrices=matrices)
 
@@ -189,7 +199,10 @@ def vanishing_x_poly(info: IndexInfo, domain_h: Radix2Domain) -> DensePoly:
     return poly
 
 
-def prover_round1(index: Index, cs) -> ProverRound1:
+def prover_round1(index: Index, cs, zk_rands: tuple[int, int, int] | None = None) -> ProverRound1:
+    """Witness polynomials; with ``zk_rands = (r_w, r_a, r_b)`` each poly is
+    randomized by +r·v_H (vanishing on H — identities over H unchanged,
+    single off-H evaluations become uniform; ark-marlin's zk bound b=1)."""
     info = index.info
     n = info.domain_h_size
     domain_h = Radix2Domain(n)
@@ -222,8 +235,29 @@ def prover_round1(index: Index, cs) -> ProverRound1:
     w_evals = [a * b % P for a, b in zip(num_evals, batch_inverse(vx_evals))]
     w_poly = DensePoly(domain_h.coset_ifft(w_evals, shift))
 
+    if zk_rands is not None:
+        r_w, r_a, r_b = zk_rands
+        w_poly = w_poly + DensePoly([r_w]).mul_by_vanishing(domain_h)
+        z_a_poly = z_a_poly + DensePoly([r_a]).mul_by_vanishing(domain_h)
+        z_b_poly = z_b_poly + DensePoly([r_b]).mul_by_vanishing(domain_h)
+        # keep ẑ = ŵ·v_X + x̂ consistent with the randomized ŵ
+        z_poly = z_poly + v_x.scale(r_w).mul_by_vanishing(domain_h)
+
     return ProverRound1(w_poly=w_poly, z_a_poly=z_a_poly, z_b_poly=z_b_poly,
                         z_poly=z_poly, z_vector=z)
+
+
+def sample_mask_poly(info: IndexInfo, rng) -> DensePoly:
+    """Random s(X) of degree 3n−1 with Σ_{κ∈H} s(κ) = 0 (the outer-sumcheck
+    zk mask; ark-marlin's ``mask_poly``).  Σ_H X^k = 0 unless n | k, so the
+    H-sum is n·Σ_j coeffs[j·n]; zero it by fixing coeffs[0]."""
+    from ..fields.bls12_377 import Fr
+
+    n = info.domain_h_size
+    coeffs = Fr.rand_vec(rng, 3 * n)
+    stride_sum = sum(coeffs[j] for j in range(n, 3 * n, n)) % P
+    coeffs[0] = (-stride_sum) % P
+    return DensePoly(coeffs)
 
 
 @dataclass
@@ -233,7 +267,8 @@ class ProverRound2:
     h_1_poly: DensePoly
 
 
-def prover_round2(index: Index, cs, r1: ProverRound1, alpha: int, etas: list[int]) -> ProverRound2:
+def prover_round2(index: Index, cs, r1: ProverRound1, alpha: int, etas: list[int],
+                  mask_poly: DensePoly | None = None) -> ProverRound2:
     info = index.info
     n = info.domain_h_size
     domain_h = Radix2Domain(n)
@@ -271,6 +306,9 @@ def prover_round2(index: Index, cs, r1: ProverRound1, alpha: int, etas: list[int
         (u * ((eta_a * za + eta_b * zb + eta_c * za % P * zb) % P) - t * z) % P
         for u, za, zb, z, t in zip(u_e, za_e, zb_e, z_e, t_e)
     ]
+    if mask_poly is not None:
+        mask_e = domain_q.fft(mask_poly.coeffs)
+        q1_e = [(q + s) % P for q, s in zip(q1_e, mask_e)]
     q1 = DensePoly(domain_q.ifft(q1_e))
     h1_coeffs, rem = domain_h.divide_by_vanishing(q1.coeffs)
     rem = rem + [0] * (n - len(rem))
@@ -358,7 +396,8 @@ def verify_outer_sumcheck(
     z_beta = (evals["w"] * v_x.evaluate(beta) + x_poly.evaluate(beta)) % P
     eta_a, eta_b, eta_c = etas
     lhs = (
-        u_ab
+        evals.get("mask", 0)
+        + u_ab
         * ((eta_a * evals["z_a"] + eta_b * evals["z_b"] + eta_c * evals["z_a"] % P * evals["z_b"]) % P)
         - evals["t"] * z_beta
     ) % P

@@ -6,9 +6,9 @@ Format (little-endian, framework-defined — arkworks byte-compatibility is a
 planned extension since our transcripts already differ):
 
 * Commitment: 48B compressed G1 | 1B has_shifted | [48B shifted]
-* Proof: 8 round commitments (canonical order) | 17 evaluations (32B Fr)
-         | 2 opening witnesses (48B)
-* VerifyingKey: info (4×u64) | 9 index commitments | g | h | beta_h
+* Proof: 9 round commitments (canonical order) | 18 evaluations (32B Fr)
+         | 2 opening witnesses (48B) | 2 blinding evaluations (32B Fr)
+* VerifyingKey: info (5×u64) | 9 index commitments | g | h | beta_h | γG
 """
 
 from __future__ import annotations
@@ -27,7 +27,7 @@ from . import (
 )
 from .ahp import IndexInfo
 
-ROUND_COMMS = ["w", "z_a", "z_b", "t", "g_1", "h_1", "g_2", "h_2"]
+ROUND_COMMS = ["w", "z_a", "z_b", "mask", "t", "g_1", "h_1", "g_2", "h_2"]
 ALL_EVALS = BETA_POLYS + GAMMA_POLYS
 
 
@@ -51,6 +51,8 @@ def serialize_proof(proof: MarlinProof) -> bytes:
         out += Fr(proof.evaluations[name]).serialize()
     out += proof.pc_proof_beta.serialize_compressed()
     out += proof.pc_proof_gamma.serialize_compressed()
+    out += Fr(proof.pc_rand_beta).serialize()
+    out += Fr(proof.pc_rand_gamma).serialize()
     return bytes(out)
 
 
@@ -66,11 +68,17 @@ def deserialize_proof(data: bytes) -> MarlinProof:
     pc_beta = G1Point.deserialize_compressed(data[off : off + 48])
     off += 48
     pc_gamma = G1Point.deserialize_compressed(data[off : off + 48])
+    off += 48
+    rand_beta = Fr.deserialize(data[off : off + 32]).value
+    off += 32
+    rand_gamma = Fr.deserialize(data[off : off + 32]).value
     return MarlinProof(
         commitments=commitments,
         evaluations=evaluations,
         pc_proof_beta=pc_beta,
         pc_proof_gamma=pc_gamma,
+        pc_rand_beta=rand_beta,
+        pc_rand_gamma=rand_gamma,
     )
 
 
@@ -89,6 +97,9 @@ def serialize_verifying_key(vk: IndexVerifierKey) -> bytes:
     out += vk.g.serialize_compressed()
     out += vk.h.serialize_compressed()
     out += vk.beta_h.serialize_compressed()
+    out += b"\x01" if vk.gamma_g is not None else b"\x00"
+    if vk.gamma_g is not None:
+        out += vk.gamma_g.serialize_compressed()
     return bytes(out)
 
 
@@ -103,12 +114,19 @@ def deserialize_verifying_key(data: bytes) -> IndexVerifierKey:
     h = G2Point.deserialize_compressed(data[off : off + 96])
     off += 96
     beta_h = G2Point.deserialize_compressed(data[off : off + 96])
+    off += 96
+    gamma_g = None
+    if off < len(data) and data[off]:
+        gamma_g = G1Point.deserialize_compressed(data[off + 1 : off + 49])
+        off += 49
+    else:
+        off += 1
     info = IndexInfo(
         num_instance_padded=ell,
         num_instance=num_instance,
         domain_h_size=n,
         domain_k_size=m,
-        max_degree=max(3 * n - 3, 6 * m - 6),
+        max_degree=max(3 * n - 1, 6 * m - 6),
     )
     return IndexVerifierKey(
         info=info,
@@ -117,6 +135,7 @@ def deserialize_verifying_key(data: bytes) -> IndexVerifierKey:
         h=h,
         beta_h=beta_h,
         srs_max_degree=srs_max,
+        gamma_g=gamma_g,
     )
 
 
@@ -140,6 +159,10 @@ def serialize_proving_key(pk) -> bytes:
         out += p.serialize_compressed()
     out += pk.srs.h.serialize_compressed()
     out += pk.srs.beta_h.serialize_compressed()
+    gamma_powers = pk.srs.powers_of_gamma_g or []
+    out += len(gamma_powers).to_bytes(8, "little")
+    for p in gamma_powers:
+        out += p.serialize_compressed()
     return bytes(out)
 
 
@@ -187,6 +210,16 @@ def deserialize_proving_key(data: bytes):
     h = G2Point.deserialize_compressed(data[off : off + 96])
     off += 96
     beta_h = G2Point.deserialize_compressed(data[off : off + 96])
-    srs = UniversalSRS(powers_of_g=powers, h=h, beta_h=beta_h)
+    off += 96
+    gamma_powers = None
+    if off < len(data):
+        n_gamma = int.from_bytes(data[off : off + 8], "little")
+        off += 8
+        gamma_powers = []
+        for _ in range(n_gamma):
+            gamma_powers.append(G1Point.deserialize_compressed(data[off : off + 48]))
+            off += 48
+    srs = UniversalSRS(powers_of_g=powers, h=h, beta_h=beta_h,
+                       powers_of_gamma_g=gamma_powers)
     index = Index(info=vk.info, matrices=matrices)
     return IndexProverKey(index=index, srs=srs, vk=vk)

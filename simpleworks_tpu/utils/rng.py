@@ -75,10 +75,64 @@ def _chacha_block(key_words: tuple[int, ...], counter: int, rounds: int) -> list
     return [(xi + ii) & MASK32 for xi, ii in zip(x, initial)]
 
 
-class ChaChaRng:
-    """ChaCha-based RNG with rand_core ``BlockRng`` word-stream semantics."""
+def _chacha_blocks_np(key_words: tuple[int, ...], counter0: int, nblocks: int, rounds: int):
+    """``nblocks`` consecutive ChaCha blocks, vectorized over the block axis
+    with numpy uint32 (bit-exact vs ``_chacha_block``).  Returns a flat
+    uint32 array of length 16*nblocks in stream order."""
+    import numpy as np
 
-    BUFFER_BLOCKS = 4  # rand_chacha refills 4 blocks (64 words) at a time
+    counters = counter0 + np.arange(nblocks, dtype=np.uint64)
+    x = np.empty((16, nblocks), dtype=np.uint32)
+    for i, c in enumerate(_CHACHA_CONSTANTS):
+        x[i, :] = c
+    for i, k in enumerate(key_words):
+        x[4 + i, :] = k
+    x[12, :] = (counters & 0xFFFFFFFF).astype(np.uint32)
+    x[13, :] = (counters >> np.uint64(32)).astype(np.uint32)
+    x[14, :] = 0
+    x[15, :] = 0
+    initial = x.copy()
+
+    def qr(a, b, c, d):
+        x[a] += x[b]
+        x[d] ^= x[a]
+        x[d] = (x[d] << np.uint32(16)) | (x[d] >> np.uint32(16))
+        x[c] += x[d]
+        x[b] ^= x[c]
+        x[b] = (x[b] << np.uint32(12)) | (x[b] >> np.uint32(20))
+        x[a] += x[b]
+        x[d] ^= x[a]
+        x[d] = (x[d] << np.uint32(8)) | (x[d] >> np.uint32(24))
+        x[c] += x[d]
+        x[b] ^= x[c]
+        x[b] = (x[b] << np.uint32(7)) | (x[b] >> np.uint32(25))
+
+    old = np.seterr(over="ignore")
+    try:
+        for _ in range(rounds // 2):
+            qr(0, 4, 8, 12)
+            qr(1, 5, 9, 13)
+            qr(2, 6, 10, 14)
+            qr(3, 7, 11, 15)
+            qr(0, 5, 10, 15)
+            qr(1, 6, 11, 12)
+            qr(2, 7, 8, 13)
+            qr(3, 4, 9, 14)
+        x += initial
+    finally:
+        np.seterr(**old)
+    return x.T.reshape(-1)  # [block, word] -> stream order
+
+
+class ChaChaRng:
+    """ChaCha-based RNG with rand_core ``BlockRng`` word-stream semantics.
+
+    Every consumer (``next_u32``, ``next_u64`` including its straddle case,
+    ``fill_bytes``) takes strictly consecutive words of the keystream, so the
+    internal buffer size is unobservable; blocks are generated in bulk with
+    the vectorized numpy kernel."""
+
+    BUFFER_BLOCKS = 4  # minimum refill granularity (rand_chacha uses 4 blocks)
 
     def __init__(self, seed: bytes, rounds: int):
         if len(seed) != 32:
@@ -88,56 +142,66 @@ class ChaChaRng:
             int.from_bytes(seed[4 * i: 4 * i + 4], "little") for i in range(8)
         )
         self.block_counter = 0
-        self.buffer: list[int] = []
-        self.index = 64  # force refill on first use
+        self.buffer = None  # numpy uint32 array
+        self.index = 0
 
-    def _refill(self) -> None:
-        words: list[int] = []
-        for _ in range(self.BUFFER_BLOCKS):
-            words.extend(_chacha_block(self.key_words, self.block_counter, self.rounds))
-            self.block_counter += 1
-        self.buffer = words
+    def _remaining(self) -> int:
+        return 0 if self.buffer is None else len(self.buffer) - self.index
+
+    def _refill(self, min_words: int = 1) -> None:
+        nblocks = max(self.BUFFER_BLOCKS, (min_words + 15) // 16)
+        self.buffer = _chacha_blocks_np(
+            self.key_words, self.block_counter, nblocks, self.rounds
+        )
+        self.block_counter += nblocks
+        self.index = 0
+
+    def take_words(self, n: int):
+        """The next ``n`` keystream u32 words as a numpy array."""
+        import numpy as np
+
+        rem = self._remaining()
+        if rem >= n:
+            out = self.buffer[self.index : self.index + n]
+            self.index += n
+            return out
+        parts = []
+        if rem:
+            parts.append(self.buffer[self.index :])
+        self._refill(n - rem)
+        parts.append(self.take_words(n - rem))
+        return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    def unget(self, words) -> None:
+        """Re-queue keystream words (most-recently-taken first in ``words``
+        stream order) so the next consumer sees them again."""
+        import numpy as np
+
+        rem = (
+            self.buffer[self.index :]
+            if self.buffer is not None
+            else np.empty(0, dtype=np.uint32)
+        )
+        self.buffer = np.concatenate([np.asarray(words, dtype=np.uint32), rem])
         self.index = 0
 
     def next_u32(self) -> int:
-        if self.index >= len(self.buffer):
+        if self._remaining() == 0:
             self._refill()
-        value = self.buffer[self.index]
+        value = int(self.buffer[self.index])
         self.index += 1
         return value
 
     def next_u64(self) -> int:
-        buf_len = len(self.buffer) if self.buffer else 64
-        if self.index < buf_len - 1 and self.buffer:
-            lo = self.buffer[self.index]
-            hi = self.buffer[self.index + 1]
-            self.index += 2
-            return (hi << 32) | lo
-        if self.index >= buf_len or not self.buffer:
-            self._refill()
-            lo = self.buffer[0]
-            hi = self.buffer[1]
-            self.index = 2
-            return (hi << 32) | lo
-        # One word left: use it as the low half, refill for the high half
-        # (rand_core BlockRng::next_u64 straddle case).
-        lo = self.buffer[buf_len - 1]
-        self._refill()
-        hi = self.buffer[0]
-        self.index = 1
+        lo = self.next_u32()
+        hi = self.next_u32()
         return (hi << 32) | lo
 
     def fill_bytes(self, n: int) -> bytes:
         """Fill ``n`` bytes, consuming whole little-endian u32 words
         (rand_core ``fill_via_u32_chunks`` semantics)."""
-        out = bytearray()
-        while len(out) < n:
-            if self.index >= len(self.buffer):
-                self._refill()
-            word = self.buffer[self.index]
-            self.index += 1
-            out.extend(word.to_bytes(4, "little"))
-        return bytes(out[:n])
+        words = self.take_words((n + 3) // 4)
+        return words.astype("<u4").tobytes()[:n]
 
     # rand 0.8 `Standard` distribution samples used by arkworks ----------
 

@@ -74,3 +74,43 @@ def test_marlin_proof_deterministic(srs):
     p2 = marlin.prove(pk, cs)
     assert p1.evaluations == p2.evaluations
     assert p1.pc_proof_beta == p2.pc_proof_beta
+
+
+# ---------------------------------------------------------------- zk layer ----
+
+
+def test_marlin_zero_knowledge_hiding(srs):
+    """Proofs with different prover randomness differ everywhere the witness
+    could leak (commitments, openings) yet both verify; the mask/blinding
+    values are bound by the pairing check."""
+    from simpleworks_tpu.marlin.serialization import serialize_proof
+    from simpleworks_tpu.utils.rng import chacha12_rng
+
+    cs = manual_constraints.synthesize(4, 4)
+    pk, vk = marlin.index(srs, cs)
+    p1 = marlin.prove(pk, cs, chacha12_rng(b"A" * 32))
+    p2 = marlin.prove(pk, cs, chacha12_rng(b"B" * 32))
+    assert serialize_proof(p1) != serialize_proof(p2)
+    # hiding: the commitment to the SAME witness polynomial differs
+    assert p1.commitments["w"].serialize() != p2.commitments["w"].serialize()
+    # v_H-randomization: the opened evaluations differ too
+    assert p1.evaluations["w"] != p2.evaluations["w"]
+    assert p1.evaluations["z_a"] != p2.evaluations["z_a"]
+    assert marlin.verify(vk, [4], p1)
+    assert marlin.verify(vk, [4], p2)
+
+
+def test_marlin_rejects_tampered_blinding(srs):
+    cs = manual_constraints.synthesize(6, 6)
+    pk, vk = marlin.index(srs, cs)
+    proof = marlin.prove(pk, cs)
+    proof.pc_rand_beta = (proof.pc_rand_beta + 1) % marlin.P
+    assert not marlin.verify(vk, [6], proof)
+
+
+def test_marlin_rejects_tampered_mask(srs):
+    cs = manual_constraints.synthesize(8, 8)
+    pk, vk = marlin.index(srs, cs)
+    proof = marlin.prove(pk, cs)
+    proof.evaluations["mask"] = (proof.evaluations["mask"] + 1) % marlin.P
+    assert not marlin.verify(vk, [8], proof)
