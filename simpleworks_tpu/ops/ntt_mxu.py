@@ -190,69 +190,88 @@ def _pack_mont_u32(values: list[int]) -> np.ndarray:
     return out
 
 
-class MXUNTT:
-    """NTT of size N = N1·N2 (N1, N2 ≤ 256) on [16, N] u32 Montgomery
-    limb arrays, natural order in/out.  Forward and inverse."""
+MAX_BASE = 256  # f32-exactness bound: matmul contraction length ≤ 256
 
-    MAX_FACTOR = 256  # f32-exactness bound: contraction length ≤ 256
+
+def _dft_limb_table(size: int, omega: int, scale: int) -> jnp.ndarray:
+    """Ŵ[k, j] = ω^{kj}·scale·2^272 mod p as [32, size, size] bf16 limbs."""
+    shift = pow(2, 16 * REDC_K, P)
+    w = [pow(omega, (k * j) % size, P) * scale % P * shift % P
+         for k in range(size) for j in range(size)]
+    w8 = _to_u8_limbs_host(w).reshape(size, size, L8).transpose(2, 0, 1)
+    return jnp.asarray(w8.astype(np.float32)).astype(jnp.bfloat16)
+
+
+def _build_level_tables(n: int, omega: int, base_scale: int):
+    """Recursive 4-step table tree.  The base level's DFT matrix carries
+    ``base_scale`` (the iNTT 1/n — each element crosses the base exactly
+    once)."""
+    if n <= MAX_BASE:
+        return ("base", n, _dft_limb_table(n, omega, base_scale))
+    k = n.bit_length() - 1
+    n1 = min(MAX_BASE, 1 << ((k + 1) // 2))
+    n2 = n // n1
+    w1_8 = _dft_limb_table(n1, pow(omega, n2, P), 1)
+    t = [pow(omega, (k1 * j2) % n, P) for k1 in range(n1) for j2 in range(n2)]
+    t_mont = jnp.asarray(_pack_mont_u32(t))  # [16, n], k1-major
+    sub = _build_level_tables(n2, pow(omega, n1, P), base_scale)
+    return ("split", n1, n2, w1_8, t_mont, sub)
+
+
+class MXUNTT:
+    """NTT of any power-of-two size on [16, N] (or batched [16, B, N]) u32
+    Montgomery limb arrays, natural order in/out.  Recursive 4-step: every
+    level is a modular matmul on the MXU + one twiddle Hadamard."""
 
     def __init__(self, n: int):
         assert n & (n - 1) == 0 and n >= 4
         self.n = n
-        k = n.bit_length() - 1
-        self.n1 = 1 << ((k + 1) // 2)
-        self.n2 = n // self.n1
-        assert self.n1 <= self.MAX_FACTOR and self.n2 <= self.MAX_FACTOR, (
-            f"n={n} too large for single-level MXU NTT"
-        )
         omega = fr_root_of_unity(n)
         omega_inv = pow(omega, P - 2, P)
         n_inv = pow(n, P - 2, P)
-        self._fwd = self._build_tables(omega, 1)
-        self._inv = self._build_tables(omega_inv, n_inv)
+        self._fwd = _build_level_tables(n, omega, 1)
+        self._inv = _build_level_tables(n, omega_inv, n_inv)
         tile = min(_LANE_TILE, n)
         self._reduce = _make_reduce(tile)
         self._mul = make_mont_mul(Fr.PARAMS, tile=tile)
 
-    def _build_tables(self, omega: int, w2_scale: int):
-        n1, n2 = self.n1, self.n2
-        shift = pow(2, 16 * REDC_K, P)
-        w_n1 = pow(omega, n2, P)  # root of order n1
-        w_n2 = pow(omega, n1, P)
-        # Ŵ1[k1, n1] row-major
-        w1 = [pow(w_n1, (k1 * j1) % self.n, P) * shift % P
-              for k1 in range(n1) for j1 in range(n1)]
-        # T[k1, n2] (Montgomery form for the elementwise montmul)
-        t = [pow(omega, (k1 * j2) % self.n, P)
-             for k1 in range(n1) for j2 in range(n2)]
-        # Ŵ2[n2, k2] (folds the iNTT 1/n scale)
-        w2 = [pow(w_n2, (j2 * k2) % self.n, P) * w2_scale % P * shift % P
-              for j2 in range(n2) for k2 in range(n2)]
-        w1_8 = _to_u8_limbs_host(w1).reshape(n1, n1, L8).transpose(2, 0, 1)
-        w2_8 = _to_u8_limbs_host(w2).reshape(n2, n2, L8).transpose(2, 0, 1)
-        return (
-            jnp.asarray(w1_8.astype(np.float32)).astype(jnp.bfloat16),
-            jnp.asarray(_pack_mont_u32(t)),      # [16, n]
-            jnp.asarray(w2_8.astype(np.float32)).astype(jnp.bfloat16),
-        )
-
-    def _transform(self, x: jnp.ndarray, tables) -> jnp.ndarray:
-        w1_8, t_mont, w2_8 = tables
-        n1, n2, n = self.n1, self.n2, self.n
-        x3 = x.reshape(L, n1, n2)
-        x8 = _u32_to_bf16_limbs(x3)                       # [32, n1, n2]
-        b = self._reduce(_limb_matmul(w1_8, x8).reshape(2 * L8 - 1, n))
-        c = self._mul(b, t_mont)                          # [16, n]
-        c8 = _u32_to_bf16_limbs(c.reshape(L, n1, n2))     # [32, n1, n2]
-        a = self._reduce(_limb_matmul(c8, w2_8).reshape(2 * L8 - 1, n))
-        # A'[k1, k2] -> out[k2*n1 + k1]
-        return a.reshape(L, n1, n2).transpose(0, 2, 1).reshape(L, n)
+    def _run(self, x: jnp.ndarray, tables) -> jnp.ndarray:
+        """x: [L, B, n] -> [L, B, n]."""
+        B = x.shape[1]
+        if tables[0] == "base":
+            _, n, w8 = tables
+            x8 = _u32_to_bf16_limbs(x)                # [32, B, n]
+            rhs = x8.transpose(0, 2, 1)               # [32, n, B]
+            y = self._reduce(_limb_matmul(w8, rhs).reshape(2 * L8 - 1, -1))
+            return y.reshape(L, n, B).transpose(0, 2, 1)
+        _, n1, n2, w1_8, t_mont, sub = tables
+        # phase A: column NTTs over j1 (contraction n1), free axis (B, j2)
+        x8 = _u32_to_bf16_limbs(x.reshape(L, B, n1, n2))
+        rhs = x8.transpose(0, 2, 1, 3).reshape(L8, n1, B * n2)
+        y = self._reduce(_limb_matmul(w1_8, rhs).reshape(2 * L8 - 1, -1))
+        # twiddle Hadamard: T[k1, j2] broadcast over B
+        t_full = jnp.broadcast_to(
+            t_mont.reshape(L, n1, 1, n2), (L, n1, B, n2)
+        ).reshape(L, -1)
+        y = self._mul(y, t_full)
+        # phase B: row NTTs of size n2, batched over (k1, B)
+        z = self._run(y.reshape(L, n1 * B, n2), sub)
+        # out[b, k2·n1 + k1] = z[k1, b, k2]
+        z = z.reshape(L, n1, B, n2).transpose(0, 2, 3, 1)
+        return z.reshape(L, B, n1 * n2)
 
     def fft_mont(self, x: jnp.ndarray) -> jnp.ndarray:
-        return self._transform(x, self._fwd)
+        return self._run(x[:, None, :], self._fwd)[:, 0, :]
 
     def ifft_mont(self, x: jnp.ndarray) -> jnp.ndarray:
-        return self._transform(x, self._inv)
+        return self._run(x[:, None, :], self._inv)[:, 0, :]
+
+    # batched transforms ([16, B, n]) for the DP/sharded paths
+    def fft_mont_batched(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self._run(x, self._fwd)
+
+    def ifft_mont_batched(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self._run(x, self._inv)
 
 
 @lru_cache(maxsize=8)

@@ -39,24 +39,13 @@ def test_mxu_ntt_matches_host_roundtrip():
     assert rt == vals
 
 
-def test_mxu_ntt_rejects_oversize():
-    from simpleworks_tpu.ops.ntt_mxu import MXUNTT
+def test_mxu_table_tree_structure():
+    from simpleworks_tpu.fields.bls12_377 import fr_root_of_unity
+    from simpleworks_tpu.ops.ntt_mxu import _build_level_tables
 
-    with pytest.raises(AssertionError):
-        MXUNTT(1 << 17)  # n1 would exceed the f32-exactness bound
-
-
-def test_mxu_tables_shapes():
-    from simpleworks_tpu.ops.ntt_mxu import MXUNTT
-
-    ntt = MXUNTT.__new__(MXUNTT)  # table math only, no kernel builds
-    ntt.n, ntt.n1, ntt.n2 = 64, 8, 8
-    w1_8, t_mont, w2_8 = ntt._build_tables(
-        __import__(
-            "simpleworks_tpu.fields.bls12_377", fromlist=["fr_root_of_unity"]
-        ).fr_root_of_unity(64),
-        1,
-    )
-    assert w1_8.shape == (32, 8, 8)
-    assert t_mont.shape == (16, 64)
-    assert w2_8.shape == (32, 8, 8)
+    tree = _build_level_tables(1 << 13, fr_root_of_unity(1 << 13), 1)
+    kind, n1, n2, w1_8, t_mont, sub = tree
+    assert kind == "split" and (n1, n2) == (128, 64)
+    assert w1_8.shape == (32, 128, 128)
+    assert t_mont.shape == (16, 1 << 13)
+    assert sub[0] == "base" and sub[1] == 64 and sub[2].shape == (32, 64, 64)
