@@ -53,15 +53,19 @@ class DeviceField:
         L = self.n_limbs
         p = params.modulus
         self.p_int = p
-        self.p_limbs = jnp.asarray(int_to_limbs(p, L))
+        # Constants are kept as *numpy* arrays: DeviceField instances are
+        # lru_cached by callers, and a cached jnp constant created inside one
+        # trace (e.g. a shard_map body) would leak as a tracer into the next.
+        # numpy constants are trace-neutral — jnp ops lift them fresh each use.
+        self.p_limbs = int_to_limbs(p, L)
         self.r_int = params.montgomery_r
         self.r2_int = params.montgomery_r**2 % p
-        self.r_limbs = jnp.asarray(int_to_limbs(self.r_int, L))
-        self.r2_limbs = jnp.asarray(int_to_limbs(self.r2_int, L))
+        self.r_limbs = int_to_limbs(self.r_int, L)
+        self.r2_limbs = int_to_limbs(self.r2_int, L)
         # n0 = -p^{-1} mod 2^16 for REDC
         self.n0 = (-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
-        self.zero = jnp.zeros((L,), dtype=jnp.uint32)
-        self.one_mont = jnp.asarray(int_to_limbs(self.r_int, L))  # 1 in Montgomery form
+        self.zero = np.zeros((L,), dtype=np.uint32)
+        self.one_mont = int_to_limbs(self.r_int, L)  # 1 in Montgomery form
 
     # -- host <-> device ----------------------------------------------------
 
@@ -83,27 +87,38 @@ class DeviceField:
 
     def normalize(self, t: jnp.ndarray) -> jnp.ndarray:
         """Carry-propagate so every limb is < 2^16 (top carries dropped —
-        caller must guarantee no overflow past the last limb)."""
-        L = t.shape[-1]
-        limbs = [t[..., i] for i in range(L)]
-        out = []
-        carry = jnp.zeros_like(limbs[0])
-        for i in range(L):
-            v = limbs[i] + carry
-            out.append(v & LIMB_MASK)
-            carry = v >> LIMB_BITS
-        return jnp.stack(out, axis=-1)
+        caller must guarantee no overflow past the last limb).
+
+        Implemented as a lax.scan over limb columns: the unrolled chain of
+        dependent add/shift ops is a pattern XLA's algebraic simplifier
+        re-walks superlinearly when many muls are inlined in one graph
+        (50-pass 'circular simplification loop' on the multi-chip dryrun)."""
+        import jax
+
+        cols = jnp.moveaxis(t, -1, 0)
+
+        def step(carry, col):
+            v = col + carry
+            return v >> LIMB_BITS, v & LIMB_MASK
+
+        _carry, out = jax.lax.scan(step, jnp.zeros_like(cols[0]), cols)
+        return jnp.moveaxis(out, 0, -1)
 
     def _sub_with_borrow(self, a: jnp.ndarray, b: jnp.ndarray):
         """a - b limbwise (both normalized); returns (diff, borrow_out)."""
-        L = a.shape[-1]
-        out = []
-        borrow = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
-        for i in range(L):
-            d = a[..., i] - b[..., i] - borrow
-            borrow = (d >> 31) & 1  # underflow wraps: top bit set
-            out.append(d & LIMB_MASK)
-        return jnp.stack(out, axis=-1), borrow
+        import jax
+
+        a = jnp.broadcast_to(a, jnp.broadcast_shapes(a.shape, b.shape))
+        b = jnp.broadcast_to(b, a.shape)
+        cols = (jnp.moveaxis(a, -1, 0), jnp.moveaxis(b, -1, 0))
+
+        def step(borrow, ab):
+            ai, bi = ab
+            d = ai - bi - borrow
+            return (d >> 31) & 1, d & LIMB_MASK  # underflow wraps: top bit set
+
+        borrow, out = jax.lax.scan(step, jnp.zeros_like(a[..., 0]), cols)
+        return jnp.moveaxis(out, 0, -1), borrow
 
     def _cond_sub_p(self, a: jnp.ndarray) -> jnp.ndarray:
         """If a >= p, return a - p, else a (a normalized, < 2p)."""
@@ -130,48 +145,80 @@ class DeviceField:
     def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Montgomery product: REDC(a * b) — schoolbook + interleaved reduction.
 
-        ~2 L^2 uint32 multiplies per element; vectorized over the batch on
-        the VPU.  (MXU int8 reformulation is a planned optimization.)
+        ~2 L^2 uint32 multiplies per element, vectorized over the batch on
+        the VPU.  The accumulator is one ``[.., 2L+1]`` array updated with
+        shifted (padded) row adds, so the traced graph is O(L) nodes — the
+        earlier per-column formulation emitted O(L^2) HLO ops, which blew up
+        XLA compile times inside scan/shard_map (multi-minute compiles and
+        algebraic-simplifier loops on the multi-chip dry run).
         """
+        import jax
+
         L = self.n_limbs
         a = jnp.broadcast_to(a, jnp.broadcast_shapes(a.shape, b.shape))
         b = jnp.broadcast_to(b, a.shape)
         batch_shape = a.shape[:-1]
-        # t has 2L+1 columns of lazily-accumulated partial sums.
-        t = [jnp.zeros(batch_shape, dtype=jnp.uint32) for _ in range(2 * L + 1)]
-        for i in range(L):
-            prod = a[..., i : i + 1] * b  # [.., L] uint32, exact 16x16 products
-            lo = prod & LIMB_MASK
-            hi = prod >> LIMB_BITS
-            for j in range(L):
-                t[i + j] = t[i + j] + lo[..., j]
-                t[i + j + 1] = t[i + j + 1] + hi[..., j]
+        nd = len(batch_shape)
+        pad_cfg_lo = [(0, 0)] * nd + [(0, 1)]  # row at offset 0 of an L+1 window
+        pad_cfg_hi = [(0, 0)] * nd + [(1, 0)]  # row at offset 1
+
+        # Both phases are lax.scan loops over limb index i with a sliding
+        # dynamic window into the [.., 2L+1] accumulator.  Each mul instance
+        # is then a ~50-node subgraph no matter how many are inlined by the
+        # caller (point adds, MSM ladders, shard_map bodies) — the unrolled
+        # O(L^2) formulation made XLA's algebraic simplifier loop for minutes.
+        # Column bound: <= 2L contributions of < 2^16 each — fits u32 easily.
+
+        def prod_step(t, xs):
+            ai, i = xs
+            prod = ai[..., None] * b  # [.., L] uint32, exact 16x16 products
+            seg = jax.lax.dynamic_slice_in_dim(t, i, L + 1, axis=-1)
+            seg = (
+                seg
+                + jnp.pad(prod & LIMB_MASK, pad_cfg_lo)
+                + jnp.pad(prod >> LIMB_BITS, pad_cfg_hi)
+            )
+            return jax.lax.dynamic_update_slice_in_dim(t, seg, i, axis=-1), None
+
+        # derive the accumulator from `a` so it inherits any shard_map
+        # varying axes (a plain jnp.zeros carry breaks scan-vma typing)
+        t0 = jnp.pad(jnp.zeros_like(a), [(0, 0)] * nd + [(0, L + 1)])
+        a_cols = jnp.moveaxis(a, -1, 0)  # [L, ..]
+        t, _ = jax.lax.scan(prod_step, t0, (a_cols, jnp.arange(L)))
+
+        # Interleaved REDC: retire one low column per step.
         n0 = jnp.uint32(self.n0)
         p = self.p_limbs
-        for i in range(L):
-            m = ((t[i] & LIMB_MASK) * n0) & LIMB_MASK
+
+        def redc_step(t, i):
+            seg = jax.lax.dynamic_slice_in_dim(t, i, L + 1, axis=-1)
+            m = ((seg[..., 0] & LIMB_MASK) * n0) & LIMB_MASK
             prod = m[..., None] * p  # [.., L]
-            lo = prod & LIMB_MASK
-            hi = prod >> LIMB_BITS
-            for j in range(L):
-                t[i + j] = t[i + j] + lo[..., j]
-                t[i + j + 1] = t[i + j + 1] + hi[..., j]
-            # retire column i: push its carry up, it is ≡ 0 mod 2^16 now
-            t[i + 1] = t[i + 1] + (t[i] >> LIMB_BITS)
-        res = jnp.stack(t[L : 2 * L], axis=-1)
+            seg = (
+                seg
+                + jnp.pad(prod & LIMB_MASK, pad_cfg_lo)
+                + jnp.pad(prod >> LIMB_BITS, pad_cfg_hi)
+            )
+            # column i is ≡ 0 mod 2^16 now; push its carry up
+            seg = seg.at[..., 1].add(seg[..., 0] >> LIMB_BITS)
+            return jax.lax.dynamic_update_slice_in_dim(t, seg, i, axis=-1), None
+
+        t, _ = jax.lax.scan(redc_step, t, jnp.arange(L))
+        res = t[..., L : 2 * L]
         # propagate carries; the final carry joins column 2L (bounded: result < 2p)
-        res = self._normalize_with_top(res, t[2 * L])
+        res = self._normalize_with_top(res, t[..., 2 * L])
         return self._cond_sub_p(res)
 
     def _normalize_with_top(self, res: jnp.ndarray, top: jnp.ndarray) -> jnp.ndarray:
-        L = res.shape[-1]
-        limbs = [res[..., i] for i in range(L)]
-        out = []
-        carry = jnp.zeros_like(limbs[0])
-        for i in range(L):
-            v = limbs[i] + carry
-            out.append(v & LIMB_MASK)
-            carry = v >> LIMB_BITS
+        import jax
+
+        cols = jnp.moveaxis(res, -1, 0)
+
+        def step(carry, col):
+            v = col + carry
+            return v >> LIMB_BITS, v & LIMB_MASK
+
+        carry, out = jax.lax.scan(step, jnp.zeros_like(cols[0]), cols)
         # Montgomery bound guarantees top + carry contributes < p at limb L;
         # fold it into an extended representation and reduce once.
         extra = top + carry
@@ -180,7 +227,7 @@ class DeviceField:
         # For extra == 1, result value = res + 2^(16L) => res - p (< p) because
         # result < 2p and 2^(16L) > p.  Implement via conditional subtract.
         has_extra = (extra > 0)[..., None]
-        res_arr = jnp.stack(out, axis=-1)
+        res_arr = jnp.moveaxis(out, 0, -1)
         diff, _ = self._sub_with_borrow(res_arr, jnp.broadcast_to(self.p_limbs, res_arr.shape))
         # res + 2^(16L) - p fits in L limbs: compute (res - p) mod 2^(16L)
         # which equals res + 2^(16L) - p exactly when res < p.

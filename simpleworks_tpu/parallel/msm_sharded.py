@@ -52,15 +52,19 @@ def _local_msm(px, py, pz, bits, axis_name=None):
 
 def make_sharded_msm(mesh: Mesh, axis_name: str, num_bits: int = 253):
     """Build a jitted sharded MSM: (points [N,L]×3, bits [N,num_bits]) -> one
-    Jacobian point (replicated)."""
+    Jacobian point (replicated [1, L] coordinate triple).
+
+    Each device reduces its shard to one partial point; the partials come out
+    of the shard_map region *sharded* (``P(axis, None)`` — the spec shard_map
+    can verify without replication inference, which the earlier
+    all_gather-inside formulation failed: round-1 dryrun rc=1) and the
+    cross-device combine is a small Jacobian tree reduction in the enclosing
+    jit, riding ICI via XLA's resharding."""
+    n_dev = mesh.shape[axis_name]
 
     def local_step(px, py, pz, bits):
-        part = _local_msm(px, py, pz, bits, axis_name=axis_name)  # ([1,L],)*3
-        # combine partial sums across devices
-        gx = jax.lax.all_gather(part[0], axis_name, axis=0, tiled=True)
-        gy = jax.lax.all_gather(part[1], axis_name, axis=0, tiled=True)
-        gz = jax.lax.all_gather(part[2], axis_name, axis=0, tiled=True)
-        return g1d.tree_reduce((gx, gy, gz))
+        # ([1, L],) * 3 — this device's partial sum
+        return _local_msm(px, py, pz, bits, axis_name=axis_name)
 
     sharded = shard_map(
         local_step,
@@ -71,9 +75,25 @@ def make_sharded_msm(mesh: Mesh, axis_name: str, num_bits: int = 253):
             P(axis_name, None),
             P(axis_name, None),
         ),
-        out_specs=(P(None, None), P(None, None), P(None, None)),
+        out_specs=(P(axis_name, None), P(axis_name, None), P(axis_name, None)),
     )
-    return jax.jit(sharded)
+
+    def run(px, py, pz, bits):
+        parts = sharded(px, py, pz, bits)  # ([n_dev, L],) * 3
+        # pad the device count to a power of two with identity points
+        target = 1
+        while target < n_dev:
+            target <<= 1
+        if target != n_dev:
+            ix, iy, iz = g1d.identity_like((target - n_dev,))
+            parts = (
+                jnp.concatenate([parts[0], ix]),
+                jnp.concatenate([parts[1], iy]),
+                jnp.concatenate([parts[2], iz]),
+            )
+        return g1d.tree_reduce(parts)
+
+    return jax.jit(run)
 
 
 def sharded_msm_host(mesh: Mesh, axis_name: str, points: list[G1Point], scalars: list[int]) -> G1Point:
