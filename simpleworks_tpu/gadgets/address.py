@@ -10,6 +10,7 @@ from __future__ import annotations
 from ..r1cs.constraint_system import ConstraintSystem
 from .boolean import Boolean
 from .uint import UIntGadget
+from ..errors import ensure
 
 ADDRESS_LEN = 63
 
@@ -27,7 +28,7 @@ class AddressGadget:
     @staticmethod
     def _coerce(value) -> bytes:
         data = value.encode() if isinstance(value, str) else bytes(value)
-        assert len(data) == ADDRESS_LEN, f"address must be {ADDRESS_LEN} bytes"
+        ensure(len(data) == ADDRESS_LEN, f"address must be {ADDRESS_LEN} bytes")
         return data
 
     @staticmethod

@@ -26,6 +26,7 @@ from functools import lru_cache
 from pathlib import Path
 
 from ..fields.bls12_377 import ConstraintF
+from ..errors import ensure
 
 _PARAMS_PATH = Path(__file__).parent / "poseidon_params.json"
 
@@ -215,7 +216,7 @@ def poseidon2_hash_gadget(input_bytes):
     (reference src/gadgets/poseidon.rs:12-31)."""
     from ..gadgets.field_var import FieldVar
 
-    assert input_bytes, "empty input"
+    ensure(bool(input_bytes), "empty input")
     cs = next(b.cs for b in input_bytes if b.cs is not None)
     capacity_bytes = (ConstraintF.PARAMS.modulus_bits - 1) // 8
     # pack byte gadgets into field vars (31-byte LE chunks): sum b_i * 256^i

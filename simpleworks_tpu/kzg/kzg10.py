@@ -28,6 +28,7 @@ from dataclasses import dataclass
 from typing import Optional
 
 from ..curves.bls12_377 import G1Point, G2Point
+from ..errors import ensure
 from ..curves.pairing import multi_pairing
 from ..curves.fq_tower import Fq12
 from ..fields.bls12_377 import Fr, FR_MODULUS
@@ -175,7 +176,7 @@ class Randomness:
 
 
 def _gamma_msm(srs: UniversalSRS, coeffs: list[int]) -> G1Point:
-    assert len(coeffs) <= len(srs.powers_of_gamma_g), "blinding degree exceeds γ-table"
+    ensure(len(coeffs) <= len(srs.powers_of_gamma_g), "blinding degree exceeds γ-table")
     return msm(srs.powers_of_gamma_g[: len(coeffs)], coeffs)
 
 
@@ -184,7 +185,7 @@ def commit(srs: UniversalSRS, poly: DensePoly, degree_bound: Optional[int] = Non
     """Commit to ``poly``; with ``hiding_rng`` the commitment is hiding and a
     ``(Commitment, Randomness)`` pair is returned (the prover must keep the
     randomness for ``batch_open``)."""
-    assert poly.degree() <= srs.max_degree, "polynomial exceeds SRS degree"
+    ensure(poly.degree() <= srs.max_degree, "polynomial exceeds SRS degree")
     c = _srs_msm(srs, poly.coeffs) if not poly.is_zero() else G1Point.identity()
     rand = None
     if hiding_rng is not None:
@@ -192,7 +193,8 @@ def commit(srs: UniversalSRS, poly: DensePoly, degree_bound: Optional[int] = Non
         c = c.add(_gamma_msm(srs, rand.blind.coeffs))
     shifted = None
     if degree_bound is not None:
-        assert poly.degree() <= degree_bound, (poly.degree(), degree_bound)
+        ensure(poly.degree() <= degree_bound,
+               f"polynomial degree {poly.degree()} exceeds bound {degree_bound}")
         shift = srs.max_degree - degree_bound
         shifted = (
             _srs_msm(srs, poly.coeffs, offset=shift)
@@ -291,12 +293,12 @@ def batch_check(
     combined_c = G1Point.identity()
     combined_v = 0
     for weight, _poly, comm, value, _blind in _batch_terms(labeled, max_degree, point, xi):
-        assert comm is not None
+        ensure(comm is not None, "batch check requires every commitment")
         combined_c = combined_c.add(comm.scalar_mul(weight))
         combined_v = (combined_v + weight * value) % P
     lhs = combined_c.add(srs_g.scalar_mul(combined_v).neg())
     if random_v % P:
-        assert gamma_g is not None, "hiding check requires γG in the verifying key"
+        ensure(gamma_g is not None, "hiding check requires γG in the verifying key")
         lhs = lhs.add(gamma_g.scalar_mul(random_v % P).neg())
     # beta_h - z·h
     beta_minus_z_h = beta_h.add(h.scalar_mul(point).neg())

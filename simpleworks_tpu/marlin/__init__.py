@@ -20,6 +20,7 @@ from dataclasses import dataclass
 from typing import Optional
 
 from ..curves.bls12_377 import G1Point, G2Point
+from ..errors import ensure
 from ..fields.bls12_377 import Fr, FR_MODULUS
 from ..hash.blake2s import blake2s_digest
 from ..kzg import kzg10
@@ -205,7 +206,7 @@ def prove(pk: IndexProverKey, cs, rng=None) -> MarlinProof:
     for name in GAMMA_POLYS:
         evaluations[name] = polys[name].evaluate(gamma)
     # sanity: the inner sumcheck claim is the opened t(β)
-    assert evaluations["t"] == r3.sigma_2 % P
+    ensure(evaluations["t"] == r3.sigma_2 % P, "inner sumcheck claim != opened t(β)")
 
     fs.absorb(b"".join(Fr(evaluations[n]).serialize() for n in BETA_POLYS + GAMMA_POLYS))
     xi = fs.squeeze_field_element()

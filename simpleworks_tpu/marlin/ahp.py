@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from ..errors import ensure
 from ..fields.bls12_377 import FR_MODULUS
 from ..poly.dense import DensePoly
 from ..poly.domain import Radix2Domain
@@ -312,7 +313,7 @@ def prover_round2(index: Index, cs, r1: ProverRound1, alpha: int, etas: list[int
     q1 = DensePoly(domain_q.ifft(q1_e))
     h1_coeffs, rem = domain_h.divide_by_vanishing(q1.coeffs)
     rem = rem + [0] * (n - len(rem))
-    assert rem[0] == 0, "outer sumcheck: non-zero H-sum (unsatisfied circuit?)"
+    ensure(rem[0] == 0, "outer sumcheck: non-zero H-sum (unsatisfied circuit?)")
     g_1 = DensePoly(rem[1:])
     return ProverRound2(t_poly=t_poly, g_1_poly=g_1, h_1_poly=DensePoly(h1_coeffs))
 
@@ -366,12 +367,13 @@ def prover_round3(index: Index, alpha: int, beta: int, etas: list[int]) -> Prove
         f_evals.append(acc * scale % P)
     sigma_2 = sum(f_evals) % P
     f_poly = DensePoly(domain_k.ifft(f_evals))
-    assert (f_poly.coeffs[0] if f_poly.coeffs else 0) == sigma_2 * pow(m, P - 2, P) % P
+    ensure((f_poly.coeffs[0] if f_poly.coeffs else 0) == sigma_2 * pow(m, P - 2, P) % P,
+           "inner sumcheck: f̂ constant term != σ₂/m")
     g_2 = DensePoly(f_poly.coeffs[1:])
 
     numerator = a_poly - b_poly * f_poly
     h2_coeffs, rem = domain_k.divide_by_vanishing(numerator.coeffs)
-    assert not rem, "inner sumcheck: division remainder non-zero"
+    ensure(not rem, "inner sumcheck: division remainder non-zero")
     return ProverRound3(g_2_poly=g_2, h_2_poly=DensePoly(h2_coeffs), sigma_2=sigma_2)
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from ..errors import ensure
 from ..fields.bls12_377 import ConstraintF
 from ..hash.pedersen import (
     PedersenParameters,
@@ -68,7 +69,7 @@ class MerkleTree:
         leaf_digests: list[int],
     ):
         n = len(leaf_digests)
-        assert n >= 2 and n & (n - 1) == 0, "leaf count must be a power of two >= 2"
+        ensure(n >= 2 and n & (n - 1) == 0, "leaf count must be a power of two >= 2")
         self.leaf_params = leaf_params
         self.two_to_one_params = two_to_one_params
         self.levels: list[list[int]] = [list(leaf_digests)]

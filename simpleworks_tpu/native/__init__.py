@@ -55,6 +55,19 @@ def available() -> bool:
     return _lib() is not None
 
 
+def _require_lib():
+    """The loaded library, or a typed error if the native runtime is absent
+    (callers gate on ``available()``; this guard survives ``python -O``)."""
+    from ..errors import SimpleworksError
+
+    lib = _lib()
+    if lib is None:
+        raise SimpleworksError(
+            "native runtime not built: run `make native` or gate on native.available()"
+        )
+    return lib
+
+
 def _make_ctx(params) -> _FpCtx:
     n = params.repr_bits // 64
     ctx = _FpCtx()
@@ -97,7 +110,7 @@ def _u64p(arr: np.ndarray):
 
 def fp_mul_batch(field: str, a: list[int], b: list[int]) -> list[int]:
     """Standard-form in/out batched modular multiplication."""
-    lib = _lib()
+    lib = _require_lib()
     ctx = _ctx_for(field)
     n = ctx.n
     aa = ints_to_limbs64(a, n)
@@ -118,7 +131,7 @@ def ntt_fr(values: list[int], omega: int, scale: int | None = None) -> list[int]
     ``scale`` (e.g. n^{-1} for the inverse transform) applied afterwards."""
     from ..fields.bls12_377 import Fr, FR_MODULUS
 
-    lib = _lib()
+    lib = _require_lib()
     ctx = _ctx_for("fr")
     n = len(values)
     R = Fr.PARAMS.montgomery_r
@@ -170,7 +183,7 @@ def _points_from_native(arr: np.ndarray):
 
 def g1_msm(points, scalars: list[int], window_bits: int = 13):
     """Pippenger MSM (native)."""
-    lib = _lib()
+    lib = _require_lib()
     ctx = _ctx_for("fq")
     pts = _points_to_native(points)
     scs = ints_to_limbs64([int(s) for s in scalars], 4)
@@ -183,7 +196,7 @@ def g1_msm(points, scalars: list[int], window_bits: int = 13):
 
 def g1_fixed_base(base, scalars: list[int]):
     """out[i] = scalars[i]·base via the native windowed table."""
-    lib = _lib()
+    lib = _require_lib()
     ctx = _ctx_for("fq")
     b = _points_to_native([base])
     scs = ints_to_limbs64([int(s) for s in scalars], 4)
@@ -195,7 +208,7 @@ def g1_fixed_base(base, scalars: list[int]):
 def g1_fixed_base_raw(base, scalars: list[int]) -> np.ndarray:
     """out[i] = scalars[i]·base as a raw native array [N, 18] (Jacobian
     Montgomery) — the SRS storage format."""
-    lib = _lib()
+    lib = _require_lib()
     ctx = _ctx_for("fq")
     b = _points_to_native([base])
     scs = ints_to_limbs64([int(s) for s in scalars], 4)
@@ -207,7 +220,7 @@ def g1_fixed_base_raw(base, scalars: list[int]) -> np.ndarray:
 def g1_msm_raw(points_native: np.ndarray, scalars: list[int], window_bits: int = 13):
     """Pippenger MSM over a preconverted native point array (no per-call
     point conversion — the SRS commit path)."""
-    lib = _lib()
+    lib = _require_lib()
     ctx = _ctx_for("fq")
     pts = np.ascontiguousarray(points_native, dtype="<u8")
     scs = ints_to_limbs64([int(s) for s in scalars], 4)
@@ -232,7 +245,7 @@ def fr_combine(polys_with_weights) -> list[int]:
     batch-open combiner."""
     from ..fields.bls12_377 import Fr, FR_MODULUS
 
-    lib = _lib()
+    lib = _require_lib()
     _register_extras(lib)
     ctx = _ctx_for("fr")
     R = Fr.PARAMS.montgomery_r
@@ -257,7 +270,7 @@ def fr_horner(coeffs: list[int], z: int) -> int:
 
     if not coeffs:
         return 0
-    lib = _lib()
+    lib = _require_lib()
     _register_extras(lib)
     ctx = _ctx_for("fr")
     R = Fr.PARAMS.montgomery_r

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+from ..errors import ensure
 from ..fields.bls12_377 import FR_MODULUS, fr_root_of_unity
 
 P = FR_MODULUS
@@ -59,7 +60,7 @@ class Radix2Domain:
     """Multiplicative subgroup H = <g> of size 2^k with FFT/coset helpers."""
 
     def __init__(self, size: int):
-        assert size & (size - 1) == 0 and size >= 1
+        ensure(size & (size - 1) == 0 and size >= 1, "domain size must be a power of two")
         self.size = size
         self.group_gen = fr_root_of_unity(size) if size > 1 else 1
         self.group_gen_inv = pow(self.group_gen, P - 2, P)
@@ -92,11 +93,11 @@ class Radix2Domain:
     def fft(self, coeffs: list[int]) -> list[int]:
         """coefficients -> evaluations over H (natural order)."""
         padded = list(coeffs) + [0] * (self.size - len(coeffs))
-        assert len(padded) == self.size, "poly degree exceeds domain"
+        ensure(len(padded) == self.size, "poly degree exceeds domain")
         return ntt_host(padded, self.group_gen)
 
     def ifft(self, evals: list[int]) -> list[int]:
-        assert len(evals) == self.size
+        ensure(len(evals) == self.size, "evaluation count != domain size")
         coeffs = ntt_host(evals, self.group_gen_inv)
         return [c * self.size_inv % P for c in coeffs]
 
