@@ -403,4 +403,84 @@ void swtpu_fp_horner(const FpCtx* c, const uint64_t* coeffs, size_t count,
     std::memcpy(out, acc, c->n * 8);
 }
 
+// ---------------------------------------------------- FrVec batch kernels ----
+// The vectorized host ops backing simpleworks_tpu.fields.frvec (the prover's
+// polynomial data plane; replaces per-element Python bigint loops).
+
+// Montgomery batch inversion (Fermat exponent supplied by the caller as p-2
+// limbs).  Zeros map to zero, as in arkworks' batch_inversion.
+void swtpu_fp_inv_batch(const FpCtx* c, const uint64_t* a, const uint64_t* p_minus_2,
+                        uint64_t* out, size_t count) {
+    const int n = c->n;
+    std::vector<uint64_t> prefix((count + 1) * n);
+    fp_copy(c, c->one, prefix.data());
+    size_t live = 0;  // number of nonzero entries folded so far
+    std::vector<size_t> live_idx;
+    live_idx.reserve(count);
+    for (size_t i = 0; i < count; ++i) {
+        const uint64_t* ai = a + i * n;
+        if (fp_is_zero(c, ai)) continue;
+        fp_mul(c, prefix.data() + live * n, ai, prefix.data() + (live + 1) * n);
+        live_idx.push_back(i);
+        ++live;
+    }
+    uint64_t inv_all[6];
+    fp_pow(c, prefix.data() + live * n, p_minus_2, n, inv_all);
+    std::memset(out, 0, count * n * 8);
+    for (size_t k = live; k-- > 0;) {
+        size_t i = live_idx[k];
+        fp_mul(c, prefix.data() + k * n, inv_all, out + i * n);
+        fp_mul(c, inv_all, a + i * n, inv_all);
+    }
+}
+
+// Sparse accumulate: out[rows[i]] += coeffs[i] * x[cols[i]] (all Montgomery).
+// One kernel covers both AHP scatter shapes — z_M = M·z (rows=constraint
+// rows, x=z) and t-evals (rows=matrix cols, x=u_alpha row weights).
+void swtpu_fp_spmv(const FpCtx* c, size_t n_terms, const uint32_t* rows,
+                   const uint32_t* cols, const uint64_t* coeffs,
+                   const uint64_t* x, uint64_t* out) {
+    const int n = c->n;
+    uint64_t tmp[6];
+    for (size_t i = 0; i < n_terms; ++i) {
+        fp_mul(c, coeffs + i * n, x + (size_t)cols[i] * n, tmp);
+        uint64_t* o = out + (size_t)rows[i] * n;
+        fp_add(c, o, tmp, o);
+    }
+}
+
+// out[i] = scalar - a[i]  (Montgomery form) — the (α − h^i) builder.
+void swtpu_fp_scalar_sub_vec(const FpCtx* c, const uint64_t* scalar,
+                             const uint64_t* a, uint64_t* out, size_t count) {
+    for (size_t i = 0; i < count; ++i)
+        fp_sub(c, scalar, a + i * c->n, out + i * c->n);
+}
+
+// Synthetic division by (X − z): quotient[count-2..0], remainder (Montgomery).
+// The KZG opening-witness computation.
+void swtpu_fp_div_linear(const FpCtx* c, const uint64_t* coeffs, size_t count,
+                         const uint64_t* z_mont, uint64_t* quotient, uint64_t* rem) {
+    const int n = c->n;
+    uint64_t acc[6];
+    fp_set_zero(c, acc);
+    for (size_t i = count; i-- > 1;) {
+        fp_mul(c, acc, z_mont, acc);
+        fp_add(c, acc, coeffs + i * n, acc);
+        std::memcpy(quotient + (i - 1) * n, acc, n * 8);
+    }
+    fp_mul(c, acc, z_mont, acc);
+    fp_add(c, acc, coeffs, acc);
+    std::memcpy(rem, acc, n * 8);
+}
+
+// out[i] = a[i] * b[i] + d[i]  (fused elementwise multiply-add, Montgomery).
+void swtpu_fp_mul_add_batch(const FpCtx* c, const uint64_t* a, const uint64_t* b,
+                            const uint64_t* d, uint64_t* out, size_t count) {
+    uint64_t tmp[6];
+    for (size_t i = 0; i < count; ++i) {
+        fp_mul(c, a + i * c->n, b + i * c->n, tmp);
+        fp_add(c, tmp, d + i * c->n, out + i * c->n);
+    }
+}
+
 }  // extern "C"

@@ -32,6 +32,7 @@ from ..errors import ensure
 from ..curves.pairing import multi_pairing
 from ..curves.fq_tower import Fq12
 from ..fields.bls12_377 import Fr, FR_MODULUS
+from ..fields.frvec import FrVec
 from ..poly.dense import DensePoly
 from .msm import FixedBaseMSM, msm
 
@@ -136,18 +137,20 @@ def setup(max_degree: int, rng) -> UniversalSRS:
                         powers_of_gamma_g=gamma_powers)
 
 
-def _srs_msm(srs: UniversalSRS, coeffs: list[int], offset: int = 0) -> G1Point:
-    """MSM of coefficients against SRS powers [offset, offset+len)."""
-    if not coeffs:
+def _srs_msm(srs: UniversalSRS, coeffs, offset: int = 0) -> G1Point:
+    """MSM of coefficients (FrVec or int list) against SRS powers
+    [offset, offset+len)."""
+    n = len(coeffs)
+    if n == 0:
         return G1Point.identity()
-    if srs.powers_native is not None:
-        from ..native import available as native_available, g1_msm_raw
+    vec = coeffs if isinstance(coeffs, FrVec) else FrVec.from_ints(coeffs)
+    from .. import native
 
-        if native_available():
-            return g1_msm_raw(
-                srs.powers_native[offset : offset + len(coeffs)], coeffs
-            )
-    return msm(srs.powers_of_g[offset : offset + len(coeffs)], coeffs)
+    if native.available():
+        scalars_std = native.fr_from_mont_arr(vec.a)
+        if srs.powers_native is not None:
+            return native.g1_msm_arr(srs.powers_native[offset : offset + n], scalars_std)
+    return msm(srs.powers_of_g[offset : offset + n], vec.to_ints())
 
 
 @dataclass
@@ -186,7 +189,7 @@ def commit(srs: UniversalSRS, poly: DensePoly, degree_bound: Optional[int] = Non
     ``(Commitment, Randomness)`` pair is returned (the prover must keep the
     randomness for ``batch_open``)."""
     ensure(poly.degree() <= srs.max_degree, "polynomial exceeds SRS degree")
-    c = _srs_msm(srs, poly.coeffs) if not poly.is_zero() else G1Point.identity()
+    c = _srs_msm(srs, poly.vec) if not poly.is_zero() else G1Point.identity()
     rand = None
     if hiding_rng is not None:
         rand = Randomness.rand(hiding_rng, has_shift=degree_bound is not None)
@@ -197,7 +200,7 @@ def commit(srs: UniversalSRS, poly: DensePoly, degree_bound: Optional[int] = Non
                f"polynomial degree {poly.degree()} exceeds bound {degree_bound}")
         shift = srs.max_degree - degree_bound
         shifted = (
-            _srs_msm(srs, poly.coeffs, offset=shift)
+            _srs_msm(srs, poly.vec, offset=shift)
             if not poly.is_zero()
             else G1Point.identity()
         )
@@ -245,19 +248,19 @@ def batch_open(
     Returns ``(W, random_v)``: the opening witness (G- and γ-components
     summed) and the combined blinding evaluation r(point) the verifier
     needs for the hiding check (0 when nothing is hiding)."""
-    terms = list(_batch_terms(labeled, srs.max_degree, point, xi, rands))
-    total = sum(len(p.coeffs) for _, p, _, _, _ in terms)
-    if total >= 4096:
-        from ..native import available as native_available, fr_combine
+    import numpy as np
 
-        if native_available():
-            combined = DensePoly(
-                fr_combine([(p.coeffs, w) for w, p, _, _, _ in terms if not p.is_zero()])
-            )
-        else:
-            combined = DensePoly.zero()
-            for weight, poly, _comm, _value, _blind in terms:
-                combined = combined + poly.scale(weight)
+    from .. import native
+
+    terms = list(_batch_terms(labeled, srs.max_degree, point, xi, rands))
+    if native.available():
+        max_len = max((len(p.vec) for _, p, _, _, _ in terms), default=0)
+        acc = np.zeros((max(max_len, 1), 4), dtype="<u8")
+        for weight, poly, _comm, _value, _blind in terms:
+            if not poly.is_zero():
+                # axpy in the Montgomery domain: acc += Mont(c)·Mont(w)·R⁻¹
+                native.fr_axpy_arr(acc, poly.vec.a, FrVec.mont_scalar(weight))
+        combined = DensePoly(FrVec(acc))
     else:
         combined = DensePoly.zero()
         for weight, poly, _comm, _value, _blind in terms:
@@ -267,7 +270,7 @@ def batch_open(
         if blind is not None and not blind.is_zero():
             combined_blind = combined_blind + blind.scale(weight)
     witness, _rem = combined.divide_by_linear(point)
-    w_point = _srs_msm(srs, witness.coeffs) if not witness.is_zero() else G1Point.identity()
+    w_point = _srs_msm(srs, witness.vec) if not witness.is_zero() else G1Point.identity()
     random_v = 0
     if not combined_blind.is_zero():
         random_v = combined_blind.evaluate(point)

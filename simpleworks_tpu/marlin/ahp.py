@@ -26,16 +26,25 @@ H-sum which is added into the outer sumcheck q₁.  Together with hiding KZG
 commitments (:mod:`simpleworks_tpu.kzg.kzg10`) the opened evaluations and
 commitments reveal nothing about the witness.
 
+**Data plane**: every prover-side vector is an FrVec numpy limb array
+(native C++ batch kernels, device NTTs through the domain's routed
+transforms) — no Python-bigint hot loops.  Round 3 evaluates the inner
+numerator a − b·f̂ on one 8m domain instead of chaining coefficient-space
+polynomial products.
+
 Deviations from ark-marlin, documented: x̂ over a power-prefix of H instead
 of a subgroup; self-consistent (not byte-compatible) transcripts.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
+
+import numpy as np
 
 from ..errors import ensure
 from ..fields.bls12_377 import FR_MODULUS
+from ..fields.frvec import FrVec
 from ..poly.dense import DensePoly
 from ..poly.domain import Radix2Domain
 
@@ -43,19 +52,8 @@ P = FR_MODULUS
 
 
 def batch_inverse(values: list[int]) -> list[int]:
-    """Montgomery batch inversion (all values nonzero)."""
-    n = len(values)
-    if n == 0:
-        return []
-    prefix = [1] * (n + 1)
-    for i, v in enumerate(values):
-        prefix[i + 1] = prefix[i] * v % P
-    inv_all = pow(prefix[n], P - 2, P)
-    out = [0] * n
-    for i in range(n - 1, -1, -1):
-        out[i] = prefix[i] * inv_all % P
-        inv_all = inv_all * values[i] % P
-    return out
+    """Batch inversion of standard-form ints (zeros map to zero)."""
+    return FrVec.from_ints(values).inv().to_ints()
 
 
 def next_pow2(x: int) -> int:
@@ -65,6 +63,12 @@ def next_pow2(x: int) -> int:
     return n
 
 
+def _const_vec(c: int, n: int) -> FrVec:
+    out = FrVec.zeros(n)
+    out.a[:] = FrVec.mont_scalar(c)[0]
+    return out
+
+
 @dataclass
 class MatrixArithmetization:
     """Indexed polynomials of one R1CS matrix over domain K."""
@@ -72,9 +76,9 @@ class MatrixArithmetization:
     row_poly: DensePoly   # K -> H elements
     col_poly: DensePoly
     val_poly: DensePoly   # val · col / n  (normalizer folded in)
-    row_evals: list[int]  # evaluations on K (prover-side)
-    col_evals: list[int]
-    val_evals: list[int]
+    row_evals: FrVec      # evaluations on K (prover-side)
+    col_evals: FrVec
+    val_evals: FrVec
 
 
 @dataclass
@@ -102,10 +106,11 @@ def max_degree_for(num_constraints: int, num_variables: int, num_non_zero: int) 
     return max(3 * n - 1, 6 * m - 6)
 
 
-def _map_column(col: int, num_instance: int, ell: int) -> int:
-    """R1CS column -> H index: instance stays, witnesses shift past the
-    padded instance block."""
-    return col if col < num_instance else ell + (col - num_instance)
+def _map_columns(cols, num_instance: int, ell: int) -> np.ndarray:
+    """R1CS columns -> H indices: instance stays, witnesses shift past the
+    padded instance block (vectorized)."""
+    cols = np.asarray(cols, dtype=np.int64)
+    return np.where(cols < num_instance, cols, ell + (cols - num_instance)).astype(np.uint32)
 
 
 def index_matrices(cs) -> Index:
@@ -119,32 +124,33 @@ def index_matrices(cs) -> Index:
     m = next_pow2(max(max((len(r[0]) for r in raw), default=1), 2))
     domain_k = Radix2Domain(m)
     n_inv = pow(n, P - 2, P)
+    h_elems = domain_h.elements_vec()
 
     matrices = []
-    h_elems = domain_h.elements()
+    one_mont = FrVec.mont_scalar(1)[0]
     for rows, cols, coeffs in raw:
-        row_evals, col_evals, val_evals = [], [], []
-        for r, c, v in zip(rows, cols, coeffs):
-            row_evals.append(h_elems[r])
-            col_elem = h_elems[_map_column(c, num_instance, ell)]
-            col_evals.append(col_elem)
-            val_evals.append(v * col_elem % P * n_inv % P)
+        nnz = len(rows)
+        rows_np = np.asarray(rows, dtype=np.uint32)
+        cols_h = _map_columns(cols, num_instance, ell)
         # pad to m with val=0, row=col=1 (any H element keeps b(k) nonzero)
-        pad = m - len(row_evals)
-        row_evals += [1] * pad
-        col_evals += [1] * pad
-        val_evals += [0] * pad
+        row_evals = FrVec.zeros(m)
+        col_evals = FrVec.zeros(m)
+        row_evals.a[:] = one_mont
+        col_evals.a[:] = one_mont
+        row_evals.a[:nnz] = h_elems.a[rows_np]
+        col_evals.a[:nnz] = h_elems.a[cols_h]
+        vals = FrVec.from_ints(coeffs) * FrVec(col_evals.a[:nnz].copy())
+        val_evals = vals.scale(n_inv).pad_to(m)
         matrices.append(
             MatrixArithmetization(
-                row_poly=DensePoly(domain_k.ifft(row_evals)),
-                col_poly=DensePoly(domain_k.ifft(col_evals)),
-                val_poly=DensePoly(domain_k.ifft(val_evals)),
+                row_poly=DensePoly(domain_k.ifft_vec(row_evals)),
+                col_poly=DensePoly(domain_k.ifft_vec(col_evals)),
+                val_poly=DensePoly(domain_k.ifft_vec(val_evals)),
                 row_evals=row_evals,
                 col_evals=col_evals,
                 val_evals=val_evals,
             )
         )
-    nnz = max(len(r[0]) for r in raw) if any(raw[i][0] for i in range(3)) else 1
     info = IndexInfo(
         num_instance_padded=ell,
         num_instance=num_instance,
@@ -164,7 +170,7 @@ class ProverRound1:
     z_a_poly: DensePoly
     z_b_poly: DensePoly
     z_poly: DensePoly  # full ẑ (kept for round 2)
-    z_vector: list[int]
+    z_vector: FrVec
 
 
 def x_padding_domain(info: IndexInfo, domain_h: Radix2Domain) -> list[int]:
@@ -210,31 +216,31 @@ def prover_round1(index: Index, cs, zk_rands: tuple[int, int, int] | None = None
     ell = info.num_instance_padded
 
     # z over H: [instance, 0-pad to ℓ, witnesses, 0-pad to n]
-    z = list(cs.instance_assignment)
-    z += [0] * (ell - len(z))
-    z += list(cs.witness_assignment)
-    z += [0] * (n - len(z))
+    instance = FrVec.from_ints(list(cs.instance_assignment))
+    witness = FrVec.from_ints(list(cs.witness_assignment))
+    z = FrVec.concat([instance.pad_to(ell), witness]).pad_to(n)
 
     raw = cs.to_matrices()
-    z_a_evals = [0] * n
-    z_b_evals = [0] * n
-    for evals, (rows, cols, coeffs) in zip((z_a_evals, z_b_evals), raw[:2]):
-        for r, c, v in zip(rows, cols, coeffs):
-            evals[r] = (evals[r] + v * z[_map_column(c, info.num_instance, ell)]) % P
+    za_zb = []
+    for rows, cols, coeffs in raw[:2]:
+        rows_np = np.asarray(rows, dtype=np.uint32)
+        cols_h = _map_columns(cols, info.num_instance, ell)
+        za_zb.append(FrVec.spmv(rows_np, cols_h, FrVec.from_ints(coeffs), z, n))
+    z_a_evals, z_b_evals = za_zb
 
-    z_poly = DensePoly(domain_h.ifft(z))
-    z_a_poly = DensePoly(domain_h.ifft(z_a_evals))
-    z_b_poly = DensePoly(domain_h.ifft(z_b_evals))
+    z_poly = DensePoly(domain_h.ifft_vec(z))
+    z_a_poly = DensePoly(domain_h.ifft_vec(z_a_evals))
+    z_b_poly = DensePoly(domain_h.ifft_vec(z_b_evals))
 
     # ŵ = (ẑ − x̂) / v_X  (exact division; computed on a coset)
     x_poly = x_poly_from_instance(cs.instance_assignment, info, domain_h)
     v_x = vanishing_x_poly(info, domain_h)
     num = z_poly - x_poly
     shift = 22  # multiplicative generator — gH avoids both H and roots of v_X
-    num_evals = domain_h.coset_fft(num.coeffs, shift)
-    vx_evals = domain_h.coset_fft(v_x.coeffs, shift)
-    w_evals = [a * b % P for a, b in zip(num_evals, batch_inverse(vx_evals))]
-    w_poly = DensePoly(domain_h.coset_ifft(w_evals, shift))
+    num_evals = domain_h.coset_fft_vec(num.vec, shift)
+    vx_evals = domain_h.coset_fft_vec(v_x.vec, shift)
+    w_evals = num_evals * vx_evals.inv()
+    w_poly = DensePoly(domain_h.coset_ifft_vec(w_evals, shift))
 
     if zk_rands is not None:
         r_w, r_a, r_b = zk_rands
@@ -273,49 +279,48 @@ def prover_round2(index: Index, cs, r1: ProverRound1, alpha: int, etas: list[int
     info = index.info
     n = info.domain_h_size
     domain_h = Radix2Domain(n)
-    h_elems = domain_h.elements()
     v_h_alpha = domain_h.evaluate_vanishing(alpha)
 
     # u_H(α, h^i) = v_H(α) / (α − h^i) for all i (batch inverted)
-    denoms = [(alpha - e) % P for e in h_elems]
-    u_alpha = [v_h_alpha * inv % P for inv in batch_inverse(denoms)]
+    h_elems = domain_h.elements_vec()
+    u_alpha = h_elems.rsub_scalar(alpha).inv().scale(v_h_alpha)
 
     # t evals over H: t[colH] += η_M · u_H(α, rowH) · val
-    t_evals = [0] * n
+    t_evals = FrVec.zeros(n)
     raw = cs.to_matrices()
     for eta, (rows, cols, coeffs) in zip(etas, raw):
-        for r, c, v in zip(rows, cols, coeffs):
-            ci = _map_column(c, info.num_instance, info.num_instance_padded)
-            t_evals[ci] = (t_evals[ci] + eta * u_alpha[r] % P * v) % P
-    t_poly = DensePoly(domain_h.ifft(t_evals))
+        rows_np = np.asarray(rows, dtype=np.uint32)
+        cols_h = _map_columns(cols, info.num_instance, info.num_instance_padded)
+        contrib = FrVec.spmv(cols_h, rows_np, FrVec.from_ints(coeffs),
+                             u_alpha.scale(eta), n)
+        t_evals = t_evals + contrib
+    t_poly = DensePoly(domain_h.ifft_vec(t_evals))
 
-    # q1 on an extended domain (deg q1 ≤ 3n−3)
+    # q1 on an extended domain (deg q1 ≤ 3n−1 incl. the zk mask)
     domain_q = Radix2Domain(4 * n)
-    q_elems = domain_q.elements()
-    za_e = domain_q.fft(r1.z_a_poly.coeffs)
-    zb_e = domain_q.fft(r1.z_b_poly.coeffs)
-    z_e = domain_q.fft(r1.z_poly.coeffs)
-    t_e = domain_q.fft(t_poly.coeffs)
-    # u_H(α, X) on the extended domain (direct rational formula)
-    u_denoms = [(alpha - x) % P for x in q_elems]
-    u_e = [
-        (v_h_alpha - domain_h.evaluate_vanishing(x)) * inv % P
-        for x, inv in zip(q_elems, batch_inverse(u_denoms))
-    ]
+    za_e = domain_q.fft_vec(r1.z_a_poly.vec)
+    zb_e = domain_q.fft_vec(r1.z_b_poly.vec)
+    z_e = domain_q.fft_vec(r1.z_poly.vec)
+    t_e = domain_q.fft_vec(t_poly.vec)
+    # u_H(α, X) on the extended domain (direct rational formula):
+    #   u = (v_H(α) − v_H(x)) / (α − x);  v_H(x) = x^n − 1 = (g_q^n)^i − 1
+    q_elems = domain_q.elements_vec()
+    x_pow_n = FrVec.powers(pow(domain_q.group_gen, n, P), 4 * n)
+    u_num = x_pow_n.rsub_scalar((v_h_alpha + 1) % P)  # v_H(α) − (x^n − 1)
+    u_e = u_num * q_elems.rsub_scalar(alpha).inv()
+
     eta_a, eta_b, eta_c = etas
-    q1_e = [
-        (u * ((eta_a * za + eta_b * zb + eta_c * za % P * zb) % P) - t * z) % P
-        for u, za, zb, z, t in zip(u_e, za_e, zb_e, z_e, t_e)
-    ]
+    # η_A ẑ_A + η_B ẑ_B + η_C ẑ_A ẑ_B  =  ẑ_A·(η_A + η_C ẑ_B) + η_B ẑ_B
+    lin = (za_e * (zb_e.scale(eta_c) + _const_vec(eta_a, 4 * n))) + zb_e.scale(eta_b)
+    q1_e = u_e * lin - t_e * z_e
     if mask_poly is not None:
-        mask_e = domain_q.fft(mask_poly.coeffs)
-        q1_e = [(q + s) % P for q, s in zip(q1_e, mask_e)]
-    q1 = DensePoly(domain_q.ifft(q1_e))
-    h1_coeffs, rem = domain_h.divide_by_vanishing(q1.coeffs)
-    rem = rem + [0] * (n - len(rem))
+        q1_e = q1_e + domain_q.fft_vec(mask_poly.vec)
+    q1 = domain_q.ifft_vec(q1_e)
+    h1_vec, rem = domain_h.divide_by_vanishing_vec(q1)
+    rem = rem.pad_to(n)
     ensure(rem[0] == 0, "outer sumcheck: non-zero H-sum (unsatisfied circuit?)")
     g_1 = DensePoly(rem[1:])
-    return ProverRound2(t_poly=t_poly, g_1_poly=g_1, h_1_poly=DensePoly(h1_coeffs))
+    return ProverRound2(t_poly=t_poly, g_1_poly=g_1, h_1_poly=DensePoly(h1_vec))
 
 
 @dataclass
@@ -334,47 +339,44 @@ def prover_round3(index: Index, alpha: int, beta: int, etas: list[int]) -> Prove
     v_h_beta = domain_h.evaluate_vanishing(beta)
     scale = v_h_alpha * v_h_beta % P
 
-    # b_M polynomials (coefficient form) and evals on K
-    b_polys = []
-    b_on_k = []
-    for mat in index.matrices:
-        bm = (DensePoly([alpha]) - mat.row_poly) * (DensePoly([beta]) - mat.col_poly)
-        b_polys.append(bm)
-        b_on_k.append(
-            [
-                (alpha - r) * (beta - c) % P
-                for r, c in zip(mat.row_evals, mat.col_evals)
-            ]
-        )
-
-    # a(X) = scale · Σ_M η_M val_M · Π_{N≠M} b_N
-    a_poly = DensePoly.zero()
-    for i, mat in enumerate(index.matrices):
-        term = mat.val_poly.scale(etas[i] * scale % P)
-        for j, bp in enumerate(b_polys):
-            if j != i:
-                term = term * bp
-        a_poly = a_poly + term
-    b_poly = b_polys[0] * b_polys[1] * b_polys[2]
-
-    # f on K, σ₂ = Σ f  (denominators batch-inverted)
-    inv_b = [batch_inverse(b_on_k[i]) for i in range(3)]
-    f_evals = []
-    for k in range(m):
-        acc = 0
-        for i, mat in enumerate(index.matrices):
-            acc = (acc + etas[i] * mat.val_evals[k] % P * inv_b[i][k]) % P
-        f_evals.append(acc * scale % P)
-    sigma_2 = sum(f_evals) % P
-    f_poly = DensePoly(domain_k.ifft(f_evals))
-    ensure((f_poly.coeffs[0] if f_poly.coeffs else 0) == sigma_2 * pow(m, P - 2, P) % P,
+    # b_M on K: (α − row_M)(β − col_M); f = scale · Σ_M η_M val'_M / b_M
+    b_on_k = [
+        mat.row_evals.rsub_scalar(alpha) * mat.col_evals.rsub_scalar(beta)
+        for mat in index.matrices
+    ]
+    f_evals = FrVec.zeros(m)
+    for eta, mat, b in zip(etas, index.matrices, b_on_k):
+        f_evals = (mat.val_evals.scale(eta) * b.inv()) + f_evals
+    f_evals = f_evals.scale(scale)
+    sigma_2 = f_evals.sum()
+    f_poly = DensePoly(domain_k.ifft_vec(f_evals))
+    f0 = f_poly.vec[0] if not f_poly.is_zero() else 0
+    ensure(f0 == sigma_2 * pow(m, P - 2, P) % P,
            "inner sumcheck: f̂ constant term != σ₂/m")
-    g_2 = DensePoly(f_poly.coeffs[1:])
+    g_2 = DensePoly(f_poly.vec[1:]) if len(f_poly.vec) > 1 else DensePoly.zero()
 
-    numerator = a_poly - b_poly * f_poly
-    h2_coeffs, rem = domain_k.divide_by_vanishing(numerator.coeffs)
-    ensure(not rem, "inner sumcheck: division remainder non-zero")
-    return ProverRound3(g_2_poly=g_2, h_2_poly=DensePoly(h2_coeffs), sigma_2=sigma_2)
+    # numerator N = a − b·f̂ (degree ≤ 6m−6) evaluated once on an 8m domain,
+    # then a single iNTT + divide-by-v_K (replaces chained coefficient-space
+    # polynomial products — each eval-domain op is one fused batch kernel).
+    domain_e = Radix2Domain(next_pow2(max(6 * m - 5, 2)))
+    b_e = []
+    vals_e = []
+    for mat in index.matrices:
+        r_e = domain_e.fft_vec(mat.row_poly.vec)
+        c_e = domain_e.fft_vec(mat.col_poly.vec)
+        b_e.append(r_e.rsub_scalar(alpha) * c_e.rsub_scalar(beta))
+        vals_e.append(domain_e.fft_vec(mat.val_poly.vec))
+    a_e = (
+        vals_e[0].scale(etas[0] * scale % P) * b_e[1] * b_e[2]
+        + vals_e[1].scale(etas[1] * scale % P) * b_e[0] * b_e[2]
+        + vals_e[2].scale(etas[2] * scale % P) * b_e[0] * b_e[1]
+    )
+    f_e = domain_e.fft_vec(f_poly.vec)
+    num_e = a_e - b_e[0] * b_e[1] * b_e[2] * f_e
+    numerator = domain_e.ifft_vec(num_e)
+    h2_vec, rem = domain_k.divide_by_vanishing_vec(numerator)
+    ensure(rem.is_zero(), "inner sumcheck: division remainder non-zero")
+    return ProverRound3(g_2_poly=g_2, h_2_poly=DensePoly(h2_vec), sigma_2=sigma_2)
 
 
 # ---------------------------------------------------------------- verifier ----

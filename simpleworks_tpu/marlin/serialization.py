@@ -151,9 +151,9 @@ def serialize_proving_key(pk) -> bytes:
     out += vk_bytes
     for mat in pk.index.matrices:
         for poly in (mat.row_poly, mat.col_poly, mat.val_poly):
-            out += len(poly.coeffs).to_bytes(8, "little")
-            for c in poly.coeffs:
-                out += Fr(c).serialize()
+            out += len(poly.vec).to_bytes(8, "little")
+            # standard-form u64 LE limbs == the 32B-LE Fr serde bytes
+            out += poly.vec.to_std_array().tobytes()
     out += len(pk.srs.powers_of_g).to_bytes(8, "little")
     for p in pk.srs.powers_of_g:
         out += p.serialize_compressed()
@@ -175,6 +175,10 @@ def deserialize_proving_key(data: bytes):
     from . import IndexProverKey
     from .ahp import Index, MatrixArithmetization
 
+    import numpy as np
+
+    from ..fields.frvec import FrVec
+
     off = 0
     vk_len = int.from_bytes(data[off : off + 8], "little")
     off += 8
@@ -187,18 +191,16 @@ def deserialize_proving_key(data: bytes):
         for _ in range(3):
             n_coeffs = int.from_bytes(data[off : off + 8], "little")
             off += 8
-            coeffs = []
-            for _ in range(n_coeffs):
-                coeffs.append(Fr.deserialize(data[off : off + 32]).value)
-                off += 32
-            polys.append(DensePoly(coeffs))
+            std = np.frombuffer(data[off : off + 32 * n_coeffs], dtype="<u8")
+            off += 32 * n_coeffs
+            polys.append(DensePoly(FrVec.from_std_array(std.reshape(-1, 4))))
         row, col, val = polys
         matrices.append(
             MatrixArithmetization(
                 row_poly=row, col_poly=col, val_poly=val,
-                row_evals=domain_k.fft(row.coeffs),
-                col_evals=domain_k.fft(col.coeffs),
-                val_evals=domain_k.fft(val.coeffs),
+                row_evals=domain_k.fft_vec(row.vec),
+                col_evals=domain_k.fft_vec(col.vec),
+                val_evals=domain_k.fft_vec(val.vec),
             )
         )
     n_powers = int.from_bytes(data[off : off + 8], "little")

@@ -280,3 +280,242 @@ def fr_horner(coeffs: list[int], z: int) -> int:
     lib.swtpu_fp_horner(ctypes.byref(ctx), _u64p(cm), len(coeffs), _u64p(zm), _u64p(out))
     rinv = pow(R, -1, FR_MODULUS)
     return limbs64_to_ints(out)[0] * rinv % FR_MODULUS
+
+
+# ------------------------------------------------------------------------
+# Array-level Fr kernels (numpy [N, 4] u64 Montgomery arrays in/out, zero
+# bigint conversion) — the data plane behind fields.frvec.FrVec.
+# ------------------------------------------------------------------------
+
+_ARR_REGISTERED = False
+
+
+def _register_arr(lib):
+    global _ARR_REGISTERED
+    if _ARR_REGISTERED:
+        return
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    ctxp = ctypes.POINTER(_FpCtx)
+    lib.swtpu_fp_inv_batch.argtypes = [ctxp, u64p, u64p, u64p, ctypes.c_size_t]
+    lib.swtpu_fp_spmv.argtypes = [
+        ctxp, ctypes.c_size_t, u32p, u32p, u64p, u64p, u64p,
+    ]
+    lib.swtpu_fp_scalar_sub_vec.argtypes = [ctxp, u64p, u64p, u64p, ctypes.c_size_t]
+    lib.swtpu_fp_div_linear.argtypes = [ctxp, u64p, ctypes.c_size_t, u64p, u64p, u64p]
+    lib.swtpu_fp_mul_add_batch.argtypes = [ctxp, u64p, u64p, u64p, u64p, ctypes.c_size_t]
+    _register_extras(lib)
+    _ARR_REGISTERED = True
+
+
+def _u32p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def _c(arr: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(arr, dtype="<u8")
+
+
+def fr_binop_arr(op: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise mont-form op over [N, 4] arrays: 'mul' | 'add' | 'sub'."""
+    lib = _require_lib()
+    ctx = _ctx_for("fr")
+    a, b = _c(a), _c(b)
+    out = np.empty_like(a)
+    fn = {"mul": lib.swtpu_fp_mul_batch, "add": lib.swtpu_fp_add_batch,
+          "sub": lib.swtpu_fp_sub_batch}[op]
+    fn(ctypes.byref(ctx), _u64p(a), _u64p(b), _u64p(out), a.shape[0])
+    return out
+
+
+def fr_mul_add_arr(a: np.ndarray, b: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """out = a*b + d elementwise (Montgomery form)."""
+    lib = _require_lib()
+    _register_arr(lib)
+    ctx = _ctx_for("fr")
+    a, b, d = _c(a), _c(b), _c(d)
+    out = np.empty_like(a)
+    lib.swtpu_fp_mul_add_batch(
+        ctypes.byref(ctx), _u64p(a), _u64p(b), _u64p(d), _u64p(out), a.shape[0]
+    )
+    return out
+
+
+def fr_to_mont_arr(a_std: np.ndarray) -> np.ndarray:
+    lib = _require_lib()
+    ctx = _ctx_for("fr")
+    a_std = _c(a_std)
+    out = np.empty_like(a_std)
+    lib.swtpu_fp_to_mont(ctypes.byref(ctx), _u64p(a_std), _u64p(out), a_std.shape[0])
+    return out
+
+
+def fr_from_mont_arr(a_mont: np.ndarray) -> np.ndarray:
+    lib = _require_lib()
+    ctx = _ctx_for("fr")
+    a_mont = _c(a_mont)
+    out = np.empty_like(a_mont)
+    lib.swtpu_fp_from_mont(ctypes.byref(ctx), _u64p(a_mont), _u64p(out), a_mont.shape[0])
+    return out
+
+
+def fr_scale_arr(a: np.ndarray, factor_mont: np.ndarray) -> np.ndarray:
+    """a * factor elementwise-by-scalar (Montgomery); returns a new array."""
+    lib = _require_lib()
+    ctx = _ctx_for("fr")
+    out = _c(a).copy()
+    f = _c(factor_mont)
+    lib.swtpu_scale(ctypes.byref(ctx), _u64p(out), out.shape[0], _u64p(f))
+    return out
+
+
+def fr_powers_arr(base_mont: np.ndarray, count: int) -> np.ndarray:
+    """[count, 4]: base^0..base^(count-1) (Montgomery in/out)."""
+    lib = _require_lib()
+    ctx = _ctx_for("fr")
+    out = np.empty((count, 4), dtype="<u8")
+    b = _c(base_mont)
+    lib.swtpu_fp_powers(ctypes.byref(ctx), _u64p(b), _u64p(out), count)
+    return out
+
+
+_P_MINUS_2 = None
+
+
+def fr_inv_arr(a: np.ndarray) -> np.ndarray:
+    """Batch inversion (Montgomery in/out); zeros map to zero."""
+    global _P_MINUS_2
+    from ..fields.bls12_377 import FR_MODULUS
+
+    lib = _require_lib()
+    _register_arr(lib)
+    ctx = _ctx_for("fr")
+    if _P_MINUS_2 is None:
+        _P_MINUS_2 = ints_to_limbs64([FR_MODULUS - 2], 4)
+    a = _c(a)
+    out = np.empty_like(a)
+    lib.swtpu_fp_inv_batch(
+        ctypes.byref(ctx), _u64p(a), _u64p(_P_MINUS_2), _u64p(out), a.shape[0]
+    )
+    return out
+
+
+def fr_scalar_sub_arr(scalar_mont: np.ndarray, a: np.ndarray) -> np.ndarray:
+    """out[i] = scalar - a[i] (Montgomery)."""
+    lib = _require_lib()
+    _register_arr(lib)
+    ctx = _ctx_for("fr")
+    a = _c(a)
+    s = _c(scalar_mont)
+    out = np.empty_like(a)
+    lib.swtpu_fp_scalar_sub_vec(ctypes.byref(ctx), _u64p(s), _u64p(a), _u64p(out), a.shape[0])
+    return out
+
+
+def fr_spmv_arr(rows: np.ndarray, cols: np.ndarray, coeffs_mont: np.ndarray,
+                x_mont: np.ndarray, out_len: int) -> np.ndarray:
+    """out[rows[i]] += coeffs[i]·x[cols[i]] over [out_len, 4] (Montgomery)."""
+    lib = _require_lib()
+    _register_arr(lib)
+    ctx = _ctx_for("fr")
+    rows = np.ascontiguousarray(rows, dtype=np.uint32)
+    cols = np.ascontiguousarray(cols, dtype=np.uint32)
+    coeffs_mont = _c(coeffs_mont)
+    x_mont = _c(x_mont)
+    out = np.zeros((out_len, 4), dtype="<u8")
+    lib.swtpu_fp_spmv(
+        ctypes.byref(ctx), rows.shape[0], _u32p(rows), _u32p(cols),
+        _u64p(coeffs_mont), _u64p(x_mont), _u64p(out),
+    )
+    return out
+
+
+def fr_div_linear_arr(coeffs_mont: np.ndarray, z_mont: np.ndarray):
+    """Synthetic division by (X − z): (quotient [N-1,4], remainder [1,4])."""
+    lib = _require_lib()
+    _register_arr(lib)
+    ctx = _ctx_for("fr")
+    coeffs_mont = _c(coeffs_mont)
+    n = coeffs_mont.shape[0]
+    quot = np.zeros((max(n - 1, 1), 4), dtype="<u8")
+    rem = np.zeros((1, 4), dtype="<u8")
+    z = _c(z_mont)
+    lib.swtpu_fp_div_linear(
+        ctypes.byref(ctx), _u64p(coeffs_mont), n, _u64p(z), _u64p(quot), _u64p(rem)
+    )
+    return quot[: n - 1], rem
+
+
+def fr_horner_arr(coeffs_mont: np.ndarray, z_mont: np.ndarray) -> np.ndarray:
+    """Evaluate at z (Montgomery in/out) -> [1, 4]."""
+    lib = _require_lib()
+    _register_arr(lib)
+    ctx = _ctx_for("fr")
+    coeffs_mont = _c(coeffs_mont)
+    z = _c(z_mont)
+    out = np.zeros((1, 4), dtype="<u8")
+    lib.swtpu_fp_horner(
+        ctypes.byref(ctx), _u64p(coeffs_mont), coeffs_mont.shape[0], _u64p(z), _u64p(out)
+    )
+    return out
+
+
+def fr_axpy_arr(acc_mont: np.ndarray, poly_mont: np.ndarray, w_mont: np.ndarray) -> None:
+    """acc[:len(poly)] += w · poly, in place (Montgomery)."""
+    lib = _require_lib()
+    _register_arr(lib)
+    ctx = _ctx_for("fr")
+    assert acc_mont.flags["C_CONTIGUOUS"]
+    poly_mont = _c(poly_mont)
+    w = _c(w_mont)
+    lib.swtpu_fp_axpy(ctypes.byref(ctx), _u64p(acc_mont), _u64p(poly_mont), _u64p(w), poly_mont.shape[0])
+
+
+_NTT_TWIDDLE_CACHE: dict = {}
+
+
+def fr_ntt_arr(data_mont: np.ndarray, omega: int, scale: int | None = None) -> np.ndarray:
+    """Natural-order radix-2 NTT over a [n, 4] Montgomery array (new array).
+    Twiddle tables cached per (n, omega)."""
+    from ..fields.bls12_377 import Fr, FR_MODULUS
+
+    lib = _require_lib()
+    ctx = _ctx_for("fr")
+    data = _c(data_mont).copy()
+    n = data.shape[0]
+    key = (n, omega)
+    tws = _NTT_TWIDDLE_CACHE.get(key)
+    if tws is None:
+        R = Fr.PARAMS.montgomery_r
+        stages = []
+        length = 2
+        while length <= n:
+            w = pow(omega, n // length, FR_MODULUS)
+            wm = ints_to_limbs64([w * R % FR_MODULUS], 4)
+            stages.append(fr_powers_arr(wm, length // 2))
+            length <<= 1
+        tws = np.concatenate(stages) if stages else np.zeros((0, 4), dtype="<u8")
+        _NTT_TWIDDLE_CACHE[key] = tws
+    lib.swtpu_ntt(ctypes.byref(ctx), _u64p(data), n, _u64p(tws))
+    if scale is not None:
+        R = Fr.PARAMS.montgomery_r
+        from ..fields.bls12_377 import FR_MODULUS as _P
+
+        s = ints_to_limbs64([scale * R % _P], 4)
+        lib.swtpu_scale(ctypes.byref(ctx), _u64p(data), n, _u64p(s))
+    return data
+
+
+def g1_msm_arr(points_native: np.ndarray, scalars_std: np.ndarray,
+               window_bits: int = 13):
+    """Pippenger MSM over preconverted points [N, 18] and standard-form
+    scalar limbs [N, 4] (no bigint conversion — the FrVec commit path)."""
+    lib = _require_lib()
+    ctx = _ctx_for("fq")
+    pts = np.ascontiguousarray(points_native, dtype="<u8")
+    scs = np.ascontiguousarray(scalars_std, dtype="<u8")
+    out = np.zeros((1, 18), dtype="<u8")
+    lib.swtpu_g1_msm(
+        ctypes.byref(ctx), _u64p(pts), _u64p(scs), pts.shape[0], window_bits, _u64p(out)
+    )
+    return _points_from_native(out)[0]

@@ -1,0 +1,223 @@
+"""Limb-major BLS12-377 G1 Jacobian arithmetic on device.
+
+The compute path of the device Pippenger MSM
+(:mod:`simpleworks_tpu.ops.msm_pippenger`).  Coordinates are **limb-major**
+``[24, B]`` uint32 arrays of 16-bit Fq Montgomery limbs — the layout of the
+Pallas Montgomery-mul kernel (:mod:`.mont_mul_pallas`), which keeps the
+whole schoolbook+REDC pipeline in VMEM and is compute-bound (~16 Fq muls
+per point add).  XLA handles the cheap add/sub/select glue.
+
+Same complete branchless Jacobian formulas as the limb-minor XLA path
+(:mod:`simpleworks_tpu.curves.g1_device`) — Z = 0 encodes the identity,
+equal-x cases resolved with selects — so the two paths are interchangeable
+oracles.  Replaces the MSM under KZG commits (reference
+``ark_poly_commit::marlin_pc`` via ``/root/reference/src/marlin/mod.rs:12``).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields.bls12_377 import Fq, FQ_MODULUS
+from ..fields.device import LIMB_BITS, LIMB_MASK, int_to_limbs
+from .mont_mul_pallas import make_mont_mul
+
+Q = FQ_MODULUS
+L = 24  # 16-bit limbs per Fq element
+
+
+class FqLimb:
+    """Batched Fq ops on limb-major [24, B] uint32 Montgomery arrays."""
+
+    def __init__(self, tile: int = 512):
+        self.p_np = np.asarray(int_to_limbs(Q, L)).reshape(L, 1)
+        self.one_np = np.asarray(
+            int_to_limbs(Fq.PARAMS.montgomery_r % Q, L)
+        ).reshape(L, 1)
+        self._tile = tile
+        self._muls: dict[int, object] = {}
+
+    def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        B = a.shape[1]
+        tile = min(self._tile, B)
+        mul = self._muls.get(tile)
+        if mul is None:
+            mul = make_mont_mul(Fq.PARAMS, tile=tile)
+            self._muls[tile] = mul
+        return mul(a, b)
+
+    # -- XLA glue (carry chains as lax.scan over the leading limb axis) ------
+
+    @staticmethod
+    def _normalize(t: jnp.ndarray) -> jnp.ndarray:
+        def step(carry, col):
+            v = col + carry
+            return v >> LIMB_BITS, v & LIMB_MASK
+
+        _carry, out = jax.lax.scan(step, jnp.zeros_like(t[0]), t)
+        return out
+
+    @staticmethod
+    def _sub_borrow(a: jnp.ndarray, b: jnp.ndarray):
+        def step(borrow, ab):
+            ai, bi = ab
+            d = ai - bi - borrow
+            return (d >> 31) & 1, d & LIMB_MASK
+
+        borrow, out = jax.lax.scan(step, jnp.zeros_like(a[0]), (a, b))
+        return out, borrow
+
+    def _cond_sub_p(self, a: jnp.ndarray) -> jnp.ndarray:
+        p = jnp.asarray(self.p_np)
+        diff, borrow = self._sub_borrow(a, jnp.broadcast_to(p, a.shape))
+        return jnp.where((borrow == 1)[None, :], a, diff)
+
+    def add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        return self._cond_sub_p(self._normalize(a + b))
+
+    def sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        diff, borrow = self._sub_borrow(a, b)
+        plus_p = self._normalize(diff + jnp.asarray(self.p_np))
+        return jnp.where((borrow == 1)[None, :], plus_p, diff)
+
+    def dbl(self, a: jnp.ndarray) -> jnp.ndarray:
+        return self.add(a, a)
+
+    @staticmethod
+    def is_zero(a: jnp.ndarray) -> jnp.ndarray:
+        return jnp.all(a == 0, axis=0)
+
+    @staticmethod
+    def select(cond: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """cond: [B] bool; a/b: [24, B]."""
+        return jnp.where(cond[None, :], a, b)
+
+
+@lru_cache(maxsize=2)
+def fq_limb(tile: int = 512) -> FqLimb:
+    return FqLimb(tile)
+
+
+# ------------------------------------------------------------- points ----
+
+
+def identity(batch: int):
+    f = fq_limb()
+    one = jnp.broadcast_to(jnp.asarray(f.one_np), (L, batch))
+    zero = jnp.zeros((L, batch), jnp.uint32)
+    return one, one, zero
+
+
+def select_point(cond, p, q):
+    f = fq_limb()
+    return tuple(f.select(cond, a, b) for a, b in zip(p, q))
+
+
+def double(p):
+    """Jacobian doubling (dbl-2009-l shape, a=0); identity-safe (Z=0 in ->
+    Z=0 out)."""
+    f = fq_limb()
+    X1, Y1, Z1 = p
+    A = f.mul(X1, X1)
+    B = f.mul(Y1, Y1)
+    C = f.mul(B, B)
+    t = f.add(X1, B)
+    D = f.sub(f.sub(f.mul(t, t), A), C)
+    D = f.add(D, D)
+    E = f.add(f.add(A, A), A)
+    F = f.mul(E, E)
+    X3 = f.sub(F, f.add(D, D))
+    eight_c = f.add(C, C)
+    eight_c = f.add(eight_c, eight_c)
+    eight_c = f.add(eight_c, eight_c)
+    Y3 = f.sub(f.mul(E, f.sub(D, X3)), eight_c)
+    Z3 = f.mul(f.add(Y1, Y1), Z1)
+    return (X3, Y3, Z3)
+
+
+def add(p, q):
+    """Complete (branchless) Jacobian addition — [24, B] coordinate triples."""
+    f = fq_limb()
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    Z1Z1 = f.mul(Z1, Z1)
+    Z2Z2 = f.mul(Z2, Z2)
+    U1 = f.mul(X1, Z2Z2)
+    U2 = f.mul(X2, Z1Z1)
+    S1 = f.mul(f.mul(Y1, Z2), Z2Z2)
+    S2 = f.mul(f.mul(Y2, Z1), Z1Z1)
+    H = f.sub(U2, U1)
+    rr = f.sub(S2, S1)
+    rr2 = f.add(rr, rr)
+    I = f.mul(f.add(H, H), f.add(H, H))
+    J = f.mul(H, I)
+    V = f.mul(U1, I)
+    X3 = f.sub(f.sub(f.mul(rr2, rr2), J), f.add(V, V))
+    SJ = f.mul(S1, J)
+    Y3 = f.sub(f.mul(rr2, f.sub(V, X3)), f.add(SJ, SJ))
+    Zsum = f.add(Z1, Z2)
+    Z3 = f.mul(f.sub(f.sub(f.mul(Zsum, Zsum), Z1Z1), Z2Z2), H)
+    general = (X3, Y3, Z3)
+
+    h_zero = f.is_zero(H)
+    r_zero = f.is_zero(rr)
+    p_ident = f.is_zero(Z1)
+    q_ident = f.is_zero(Z2)
+    dbl = double(p)
+    ident = identity(X3.shape[1])
+
+    # same x: equal points -> double, opposite -> identity
+    out = select_point(h_zero & r_zero, dbl, general)
+    out = select_point(h_zero & ~r_zero & ~p_ident & ~q_ident, ident, out)
+    out = select_point(q_ident, p, out)
+    out = select_point(p_ident, q, out)
+    return out
+
+
+# -------------------------------------------------------- host bridge ----
+
+
+def points_to_limb_major(points) -> tuple:
+    """Host G1Points -> ([24, N],)*3 device arrays (Montgomery form)."""
+    R = Fq.PARAMS.montgomery_r
+    n = len(points)
+    out = []
+    for coord in range(3):
+        arr = np.zeros((L, n), dtype=np.uint32)
+        for i, pt in enumerate(points):
+            v = (pt.X, pt.Y, pt.Z)[coord] * R % Q
+            for t in range(L):
+                arr[t, i] = (v >> (16 * t)) & 0xFFFF
+        out.append(jnp.asarray(arr))
+    return tuple(out)
+
+
+def native_points_to_limb_major(points_native: np.ndarray) -> tuple:
+    """[N, 18] u64 Jacobian Montgomery (the native SRS layout) ->
+    ([24, N],)*3 uint32 — a pure view/transpose, no bigints."""
+    u16 = np.ascontiguousarray(points_native, dtype="<u8").view("<u2").reshape(-1, 3, L)
+    coords = u16.astype(np.uint32).transpose(1, 2, 0)  # [3, 24, N]
+    return tuple(jnp.asarray(coords[i]) for i in range(3))
+
+
+def points_from_limb_major(batch) -> list:
+    from ..curves.bls12_377 import G1Point
+
+    rinv = pow(Fq.PARAMS.montgomery_r, -1, Q)
+    coords = []
+    for arr in batch:
+        a = np.asarray(jax.device_get(arr)).astype(np.uint64)
+        n = a.shape[1]
+        vals = []
+        for i in range(n):
+            v = 0
+            for t in range(L - 1, -1, -1):
+                v = (v << 16) | int(a[t, i])
+            vals.append(v * rinv % Q)
+        coords.append(vals)
+    xs, ys, zs = coords
+    return [G1Point(x, y, z) for x, y, z in zip(xs, ys, zs)]

@@ -121,6 +121,108 @@ class Radix2Domain:
             cur = cur * shift_inv % P
         return out
 
+    # -- FrVec transforms (the prover data plane; list API above is the oracle) --
+
+    @lru_cache(maxsize=None)
+    def elements_vec(self):
+        """FrVec of [1, g, g², ..., g^(n-1)]."""
+        from ..fields.frvec import FrVec
+
+        return FrVec.powers(self.group_gen, self.size)
+
+    def _transform_vec(self, v, omega: int, scale: int | None = None):
+        """Natural-order NTT of a full-size FrVec; routes device/native/python."""
+        from ..fields.frvec import FrVec
+        from ..ops import accel
+
+        if accel.use_device_ntt(self.size):
+            import numpy as _np
+            import jax
+            import jax.numpy as jnp
+            from ..ops.ntt_mxu import get_mxu_ntt
+
+            ntt = get_mxu_ntt(self.size)
+            x = jnp.asarray(_np.ascontiguousarray(v.to_device_limbs().T))
+            inverse = omega == self.group_gen_inv
+            if inverse and (scale == self.size_inv or scale is None):
+                y = ntt.ifft_mont(x)  # 1/n folded into the inverse tables
+                out = FrVec.from_device_limbs(_np.asarray(jax.device_get(y)).T)
+                if scale is None:  # caller wanted no scaling: undo
+                    out = out.scale(self.size)
+                return out
+            if not inverse and scale is None and omega == self.group_gen:
+                y = ntt.fft_mont(x)
+                return FrVec.from_device_limbs(_np.asarray(jax.device_get(y)).T)
+            # fall through for exotic omega/scale combinations
+
+        from .. import native
+
+        if native.available():
+            return FrVec(native.fr_ntt_arr(v.a, omega, scale=scale))
+        out = ntt_host(v.to_ints(), omega)
+        if scale is not None:
+            out = [c * scale % P for c in out]
+        return FrVec.from_ints(out)
+
+    def fft_vec(self, v):
+        """coefficients -> evaluations over H (natural order); v is an FrVec
+        of length <= n."""
+        ensure(len(v) <= self.size, "poly degree exceeds domain")
+        return self._transform_vec(v.pad_to(self.size), self.group_gen)
+
+    def ifft_vec(self, v):
+        ensure(len(v) == self.size, "evaluation count != domain size")
+        return self._transform_vec(v, self.group_gen_inv, scale=self.size_inv)
+
+    def coset_fft_vec(self, v, shift: int):
+        """Evaluations over the coset shift·H."""
+        from ..fields.frvec import FrVec
+
+        ensure(len(v) <= self.size, "poly degree exceeds domain")
+        padded = v.pad_to(self.size)
+        shifted = padded * FrVec.powers(shift, self.size)
+        return self._transform_vec(shifted, self.group_gen)
+
+    def coset_ifft_vec(self, v, shift: int):
+        from ..fields.frvec import FrVec
+
+        coeffs = self.ifft_vec(v)
+        shift_inv = pow(shift, P - 2, P)
+        return coeffs * FrVec.powers(shift_inv, self.size)
+
+    def divide_by_vanishing_vec(self, v):
+        """(quotient, remainder) FrVecs of division by X^n − 1 (blockwise
+        top-down fold; same recurrence as the list oracle below)."""
+        from ..fields.frvec import FrVec
+
+        n = self.size
+        if len(v) < n:
+            return FrVec.zeros(0), v
+        work = v.copy()
+        top = len(work)
+        # fold block [bn, min((b+1)n, top)) into [(b-1)n, ...) from the top
+        b = (top - 1) // n
+        while b >= 1:
+            lo, hi = b * n, min((b + 1) * n, top)
+            seg = FrVec(work.a[lo:hi]) + FrVec(work.a[lo - n : hi - n])
+            work.a[lo - n : hi - n] = seg.a
+            b -= 1
+        return FrVec(work.a[n:].copy()), FrVec(work.a[:n].copy())
+
+    def lagrange_coeffs_vec(self, point: int):
+        """FrVec of L_i(point) (barycentric; batch-inverted)."""
+        from ..fields.frvec import FrVec
+
+        v = self.evaluate_vanishing(point)
+        elements = self.elements_vec()
+        if v == 0:
+            idx = self.elements().index(point % P)
+            out = FrVec.zeros(self.size)
+            out.a[idx] = FrVec.mont_scalar(1)[0]
+            return out
+        denoms = elements.rsub_scalar(point)  # point - g^i
+        return (denoms.inv() * elements).scale(v * self.size_inv % P)
+
     # -- vanishing polynomial v_H(X) = X^n - 1 ------------------------------------
 
     def evaluate_vanishing(self, point: int) -> int:
