@@ -20,6 +20,7 @@ from ...hash.pedersen import PedersenWindow, pedersen_setup
 from ...merkle.tree import MerkleTree
 from ...schnorr import schnorr
 from .account import AccountId, AccountInformation
+from ...config import DEFAULT_CONFIG
 
 #: reference ledger.rs:60-63
 TWO_TO_ONE_WINDOW = PedersenWindow(window_size=128, num_windows=4)
@@ -37,13 +38,13 @@ class Parameters:
     leaf_crh_params: object
     two_to_one_crh_params: object
     #: Marlin SRS scale used per-transaction (reference transaction.rs:96)
-    srs_scale: tuple[int, int, int] = (100_000, 25_000, 300_000)
+    srs_scale: tuple[int, int, int] = DEFAULT_CONFIG.large_srs
     #: run the full Marlin prove/verify inside Transaction::validate
     prove_transactions: bool = True
 
     @staticmethod
     def sample(rng, leaf_window=LEAF_WINDOW, two_to_one_window=TWO_TO_ONE_WINDOW,
-               srs_scale=(100_000, 25_000, 300_000), prove_transactions=True):
+               srs_scale=DEFAULT_CONFIG.large_srs, prove_transactions=True):
         sig_params = schnorr.setup(rng)
         leaf_crh_params = pedersen_setup(leaf_window, rng)
         two_to_one_crh_params = pedersen_setup(two_to_one_window, rng)

@@ -59,6 +59,7 @@ class UniversalSRS:
                  powers_of_gamma_g=None):
         self._powers_list = powers_of_g
         self.powers_native = powers_native
+        self._device_powers = None
         self.h = h
         self.beta_h = beta_h
         self.powers_of_gamma_g = powers_of_gamma_g
@@ -91,6 +92,15 @@ class UniversalSRS:
     @property
     def max_degree(self) -> int:
         return self.num_powers - 1
+
+    def device_powers(self):
+        """SRS G1 powers as device-resident limb-major arrays (([24, N],)*3,
+        uploaded once and cached — the device Pippenger commit path)."""
+        if getattr(self, "_device_powers", None) is None:
+            from ..ops.g1_limb import native_points_to_limb_major
+
+            self._device_powers = native_points_to_limb_major(self.powers_native)
+        return self._device_powers
 
 
 @dataclass
@@ -145,7 +155,14 @@ def _srs_msm(srs: UniversalSRS, coeffs, offset: int = 0) -> G1Point:
         return G1Point.identity()
     vec = coeffs if isinstance(coeffs, FrVec) else FrVec.from_ints(coeffs)
     from .. import native
+    from ..ops import accel
 
+    if srs.powers_native is not None and accel.use_device_msm(n):
+        from ..ops import msm_pippenger
+
+        return msm_pippenger.msm_device(
+            srs.device_powers(), vec.to_std_array(), offset=offset
+        )
     if native.available():
         scalars_std = native.fr_from_mont_arr(vec.a)
         if srs.powers_native is not None:

@@ -29,7 +29,10 @@ from ..utils.rng import test_rng
 from .circuit import MerkleTreeVerificationU8, public_inputs_for_verify
 from .tree import MerklePath, MerkleTree, merkle_tree_height
 
-REFERENCE_SRS_SCALE = (100_000, 25_000, 300_000)
+from ..config import DEFAULT_CONFIG
+
+#: reference src/merkle_tree/simple_merkle_tree.rs:39
+REFERENCE_SRS_SCALE = DEFAULT_CONFIG.large_srs
 
 
 class SimpleMerkleTree:

@@ -24,7 +24,10 @@ import jax.numpy as jnp
 
 from ..fields.bls12_377 import Fq, FQ_MODULUS
 from ..fields.device import LIMB_BITS, LIMB_MASK, int_to_limbs
+from .accel import enable_persistent_compile_cache
 from .mont_mul_pallas import make_mont_mul
+
+enable_persistent_compile_cache()
 
 Q = FQ_MODULUS
 L = 24  # 16-bit limbs per Fq element
@@ -34,23 +37,53 @@ class FqLimb:
     """Batched Fq ops on limb-major [24, B] uint32 Montgomery arrays."""
 
     def __init__(self, tile: int = 512):
+        import os
+
         self.p_np = np.asarray(int_to_limbs(Q, L)).reshape(L, 1)
         self.one_np = np.asarray(
             int_to_limbs(Fq.PARAMS.montgomery_r % Q, L)
         ).reshape(L, 1)
         self._tile = tile
         self._muls: dict[int, object] = {}
+        self._addsubs: dict[int, tuple] = {}
+        # Pallas kernels only lower on real TPUs; on CPU (tests, virtual-mesh
+        # dryrun) the scan-based XLA mul of fields/device.py is the fallback.
+        flag = os.environ.get("SWTPU_PALLAS")
+        if flag is not None:
+            self._use_pallas = flag == "1"
+        else:
+            self._use_pallas = jax.default_backend() == "tpu"
 
     def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        import math
+
         B = a.shape[1]
-        tile = min(self._tile, B)
+        if not self._use_pallas:
+            from ..curves.g1_device import fq_device_field
+
+            df = fq_device_field()
+            return jnp.moveaxis(df.mul(jnp.moveaxis(a, 0, -1), jnp.moveaxis(b, 0, -1)), -1, 0)
+        tile = math.gcd(self._tile, B)  # exact grid cover — no dropped lanes
         mul = self._muls.get(tile)
         if mul is None:
             mul = make_mont_mul(Fq.PARAMS, tile=tile)
             self._muls[tile] = mul
         return mul(a, b)
 
-    # -- XLA glue (carry chains as lax.scan over the leading limb axis) ------
+    def _addsub(self, B: int):
+        """Pallas (add, sub) kernels for this batch width (TPU path)."""
+        import math
+
+        from .mont_mul_pallas import make_mod_addsub
+
+        tile = math.gcd(self._tile, B)
+        ops = self._addsubs.get(tile)
+        if ops is None:
+            ops = make_mod_addsub(Fq.PARAMS, tile=tile)
+            self._addsubs[tile] = ops
+        return ops
+
+    # -- XLA glue for the CPU fallback (lax.scan keeps the graph small) ------
 
     @staticmethod
     def _normalize(t: jnp.ndarray) -> jnp.ndarray:
@@ -77,9 +110,13 @@ class FqLimb:
         return jnp.where((borrow == 1)[None, :], a, diff)
 
     def add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        if self._use_pallas:
+            return self._addsub(a.shape[1])[0](a, b)
         return self._cond_sub_p(self._normalize(a + b))
 
     def sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        if self._use_pallas:
+            return self._addsub(a.shape[1])[1](a, b)
         diff, borrow = self._sub_borrow(a, b)
         plus_p = self._normalize(diff + jnp.asarray(self.p_np))
         return jnp.where((borrow == 1)[None, :], plus_p, diff)
@@ -196,12 +233,13 @@ def points_to_limb_major(points) -> tuple:
     return tuple(out)
 
 
-def native_points_to_limb_major(points_native: np.ndarray) -> tuple:
+def native_points_to_limb_major(points_native: np.ndarray):
     """[N, 18] u64 Jacobian Montgomery (the native SRS layout) ->
-    ([24, N],)*3 uint32 — a pure view/transpose, no bigints."""
+    one [3, 24, N] uint32 device array — a pure view/transpose, no
+    bigints; stacked so the MSM gathers all coordinates in one take."""
     u16 = np.ascontiguousarray(points_native, dtype="<u8").view("<u2").reshape(-1, 3, L)
     coords = u16.astype(np.uint32).transpose(1, 2, 0)  # [3, 24, N]
-    return tuple(jnp.asarray(coords[i]) for i in range(3))
+    return jnp.asarray(coords)
 
 
 def points_from_limb_major(batch) -> list:

@@ -80,6 +80,86 @@ def _mont_mul_kernel(a_ref, b_ref, p_ref, out_ref, *, n_limbs: int, n0: int):
     out_ref[...] = jnp.where(use_diff, diff, res_arr)
 
 
+def _mod_add_kernel(a_ref, b_ref, p_ref, out_ref, *, n_limbs: int):
+    """(a + b) mod p on [L, T] 16-bit limbs (carry chain in VMEM)."""
+    L = n_limbs
+    a = a_ref[...]
+    b = b_ref[...]
+    p = p_ref[...]
+    mask = jnp.uint32(LIMB_MASK)
+    zero_row = jnp.zeros((1, a.shape[1]), jnp.uint32)
+    res, carry = [], zero_row
+    for i in range(L):
+        v = a[i : i + 1, :] + b[i : i + 1, :] + carry
+        res.append(v & mask)
+        carry = v >> LIMB_BITS
+    res_arr = jnp.concatenate(res, axis=0)
+    diff, borrow = [], zero_row
+    for i in range(L):
+        d = res_arr[i : i + 1, :] - p[i : i + 1, :] - borrow
+        diff.append(d & mask)
+        borrow = (d >> 31) & 1
+    diff_arr = jnp.concatenate(diff, axis=0)
+    # sum < 2p: subtract p when carry-out set or res >= p (no borrow)
+    out_ref[...] = jnp.where((carry > 0) | (borrow == 0), diff_arr, res_arr)
+
+
+def _mod_sub_kernel(a_ref, b_ref, p_ref, out_ref, *, n_limbs: int):
+    """(a - b) mod p on [L, T] 16-bit limbs."""
+    L = n_limbs
+    a = a_ref[...]
+    b = b_ref[...]
+    p = p_ref[...]
+    mask = jnp.uint32(LIMB_MASK)
+    zero_row = jnp.zeros((1, a.shape[1]), jnp.uint32)
+    diff, borrow = [], zero_row
+    for i in range(L):
+        d = a[i : i + 1, :] - b[i : i + 1, :] - borrow
+        diff.append(d & mask)
+        borrow = (d >> 31) & 1
+    diff_arr = jnp.concatenate(diff, axis=0)
+    plus, carry = [], zero_row
+    for i in range(L):
+        v = diff_arr[i : i + 1, :] + p[i : i + 1, :] + carry
+        plus.append(v & mask)
+        carry = v >> LIMB_BITS
+    plus_arr = jnp.concatenate(plus, axis=0)
+    out_ref[...] = jnp.where(borrow == 1, plus_arr, diff_arr)
+
+
+@lru_cache(maxsize=8)
+def make_mod_addsub(params: FieldParams, tile: int = TILE):
+    """Pallas (add, sub) mod-p pair on limb-major [L, B] uint32 arrays."""
+    import numpy as np
+
+    L = params.repr_bits // LIMB_BITS
+    p_limbs_np = np.asarray(int_to_limbs(params.modulus, L)).reshape(L, 1)
+
+    def build(kernel_fn):
+        kernel = partial(kernel_fn, n_limbs=L)
+
+        @jax.jit
+        def op(a, b):
+            B = a.shape[1]
+            if B % tile:
+                raise ValueError(f"batch {B} not divisible by tile {tile}")
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((L, B), jnp.uint32),
+                grid=(B // tile,),
+                in_specs=[
+                    pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            )(a, b, jnp.asarray(p_limbs_np))
+
+        return op
+
+    return build(_mod_add_kernel), build(_mod_sub_kernel)
+
+
 @lru_cache(maxsize=4)
 def make_mont_mul(params: FieldParams, tile: int = TILE):
     """Returns fn(a, b) on limb-major [L, B] uint32 Montgomery arrays
@@ -87,7 +167,9 @@ def make_mont_mul(params: FieldParams, tile: int = TILE):
     L = params.repr_bits // LIMB_BITS
     import numpy as np
 
-    p_limbs = jnp.asarray(np.asarray(int_to_limbs(params.modulus, L)).reshape(L, 1))
+    # numpy, not jnp: this closure is lru_cached, and a jnp constant created
+    # while tracing one jit would leak as a tracer into later traces
+    p_limbs_np = np.asarray(int_to_limbs(params.modulus, L)).reshape(L, 1)
     n0 = (-pow(params.modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
 
     kernel = partial(_mont_mul_kernel, n_limbs=L, n0=n0)
@@ -95,7 +177,11 @@ def make_mont_mul(params: FieldParams, tile: int = TILE):
     @jax.jit
     def mont_mul(a, b):
         B = a.shape[1]
+        if B % tile:
+            # a floor-div grid would silently skip the remainder lanes
+            raise ValueError(f"batch {B} not divisible by tile {tile}")
         grid = (B // tile,)
+        p_limbs = jnp.asarray(p_limbs_np)
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((L, B), jnp.uint32),

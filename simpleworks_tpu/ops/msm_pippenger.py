@@ -62,6 +62,9 @@ def window_digits(scalars_std: np.ndarray, c: int) -> np.ndarray:
     return out
 
 
+_TARGET_LANES = 4096  # keep scan steps wide enough to amortize step overhead
+
+
 def _round_up_depth(d: int) -> int:
     """Quantize the grid depth to limit distinct jit shapes (≤25% padding)."""
     if d <= 8:
@@ -71,15 +74,20 @@ def _round_up_depth(d: int) -> int:
 
 
 def build_schedule(scalars_std: np.ndarray, c: int, offset: int = 0):
-    """-> (idx [D, W·B] int32, valid [D, W·B] bool).  Column w·B + d of the
-    grid lists the indices (``offset``-shifted) of points whose window-w
-    digit is d; digit 0 contributes weight 0 and gets no column entries."""
+    """-> list of (window_ids, b_g, idx [D_g, |g|·b_g] int32, valid …bool).
+
+    Column w·B + d of a group's grid lists the indices (``offset``-shifted)
+    of points whose window-w digit is d; digit 0 contributes weight 0 and
+    gets no column entries.  Windows are *grouped by bucket-occupancy
+    depth*: the top window's digits span only the scalar's leading bits
+    (2^5 values for 253-bit scalars at c=8), so its depth is ~B/live
+    larger than the uniform windows' — one global depth would pad every
+    other window to it (the 11× blow-up seen at N=2^17)."""
     n = scalars_std.shape[0]
     b = 1 << c
     digits = window_digits(scalars_std, c)
     w_count = digits.shape[0]
     per_window = []
-    depth = 0
     for w in range(w_count):
         dw = digits[w]
         order = np.argsort(dw, kind="stable")
@@ -89,63 +97,117 @@ def build_schedule(scalars_std: np.ndarray, c: int, offset: int = 0):
         ranks = np.arange(n) - starts[sd]
         keep = sd > 0
         d_w = int(ranks[keep].max()) + 1 if keep.any() else 0
-        depth = max(depth, d_w)
-        per_window.append((order[keep], sd[keep], ranks[keep]))
-    depth = _round_up_depth(max(depth, 1))
-    idx = np.zeros((depth, w_count, b), dtype=np.int32)
-    valid = np.zeros((depth, w_count, b), dtype=bool)
-    for w, (point_idx, sd, ranks) in enumerate(per_window):
-        idx[ranks, w, sd] = point_idx + offset
-        valid[ranks, w, sd] = True
-    return idx.reshape(depth, w_count * b), valid.reshape(depth, w_count * b)
+        per_window.append((w, d_w, order[keep], sd[keep], ranks[keep]))
+
+    # group windows whose depth is within 2x of the group's minimum
+    per_window.sort(key=lambda t: t[1])
+    groups: list[list[tuple]] = []
+    for entry in per_window:
+        if groups and entry[1] <= max(2 * max(groups[-1][0][1], 8), 64):
+            groups[-1].append(entry)
+        else:
+            groups.append([entry])
+
+    out = []
+    for group in groups:
+        raw_depth = max(max(e[1] for e in group), 1)
+        g = len(group)
+        # per-group bucket count: the top window's digits span only the
+        # scalar's leading bits — give it 2^(bits used) buckets, not 2^c
+        max_digit = max((int(e[3].max()) if e[3].size else 1) for e in group)
+        b_g = 1
+        while b_g <= max_digit:
+            b_g <<= 1
+        b_g = max(b_g, 2)
+        # depth folding: a deep-narrow grid (the top window: depth ~N/live,
+        # a handful of lanes) pays the per-scan-step overhead D times for
+        # tiny steps — split each bucket column into S segments that
+        # accumulate in parallel lanes and tree-combine on device.
+        segs = 1
+        while g * b_g * segs < _TARGET_LANES and segs * 2 <= raw_depth:
+            segs <<= 1
+        depth = _round_up_depth((raw_depth + segs - 1) // segs)
+        idx = np.zeros((depth, g, segs, b_g), dtype=np.int32)
+        valid = np.zeros((depth, g, segs, b_g), dtype=bool)
+        window_ids = []
+        for slot, (w, _d, point_idx, sd, ranks) in enumerate(group):
+            seg = ranks // depth
+            row = ranks % depth
+            idx[row, slot, seg, sd] = point_idx + offset
+            valid[row, slot, seg, sd] = True
+            window_ids.append(w)
+        out.append(
+            (window_ids, segs, b_g,
+             idx.reshape(depth, g * segs * b_g), valid.reshape(depth, g * segs * b_g))
+        )
+    return out
 
 
 @lru_cache(maxsize=16)
-def _make_accumulate(n_points: int, depth: int, w_count: int, b: int):
-    """Jitted: (X, Y, Z [24, n_points], idx, valid) -> [24, W] window sums."""
+def _make_accumulate(n_points: int, depth: int, w_count: int, segs: int, b: int):
+    """Jitted: (XYZ [3, 24, n_points], idx, valid) -> [24, W] window sums.
 
-    def run(X, Y, Z, idx, valid):
-        acc = g1_limb.identity(w_count * b)
+    The graph stays small — a handful of point-add subgraphs — because the
+    D accumulation steps (lax.scan), the log₂(S) segment folds (unrolled
+    halving), and the 2·log₂(B) bucket-combine steps (lax.fori_loop with a
+    dynamic-slice shift) each trace their point add once."""
+    log_b = b.bit_length() - 1
+
+    def suffix_pass(t):
+        """Inclusive suffix sums along the bucket axis of ([24, W, B],)*3:
+        T_j ← Σ_{d≥j} T_d.  Shift-by-k slides in identity via a padded
+        dynamic slice (no wraparound, no mask)."""
+        pad = tuple(a.reshape(24, w_count, b) for a in g1_limb.identity(w_count * b))
+
+        def body(i, t):
+            k = jnp.int32(1) << i
+            shifted = tuple(
+                jax.lax.dynamic_slice_in_dim(
+                    jnp.concatenate([a, p], axis=2), k, b, axis=2
+                ).reshape(24, w_count * b)
+                for a, p in zip(t, pad)
+            )
+            flat = tuple(a.reshape(24, w_count * b) for a in t)
+            summed = g1_limb.add(flat, shifted)
+            return tuple(a.reshape(24, w_count, b) for a in summed)
+
+        return jax.lax.fori_loop(0, log_b, body, t)
+
+    lanes = w_count * segs * b
+
+    def run(XYZ, idx, valid):
+        acc = g1_limb.identity(lanes)
 
         def step(acc, xs):
             idx_d, valid_d = xs
-            pts = (
-                jnp.take(X, idx_d, axis=1),
-                jnp.take(Y, idx_d, axis=1),
-                jnp.take(Z, idx_d, axis=1),
-            )
+            pts3 = jnp.take(XYZ, idx_d, axis=2)  # one gather for all coords
+            pts = (pts3[0], pts3[1], pts3[2])
             added = g1_limb.add(acc, pts)
             return g1_limb.select_point(valid_d, added, acc), None
 
         acc, _ = jax.lax.scan(step, acc, (idx, valid))
 
-        # suffix sums over the bucket axis: T_j = Σ_{d≥j} S_d
-        # (Σ_{j≥1} T_j = Σ_d d·S_d — the running-sum trick, batched)
-        t = acc
-        k = 1
-        while k < b:
-            shifted = tuple(
-                jnp.concatenate(
-                    [a.reshape(24, w_count, b)[:, :, k:], i.reshape(24, w_count, b)[:, :, :k]],
-                    axis=2,
-                ).reshape(24, w_count * b)
-                for a, i in zip(t, g1_limb.identity(w_count * b))
-            )
-            t = g1_limb.add(t, shifted)
-            k <<= 1
-        # drop T_0 (digit 0 has weight 0)
-        lane_digit = jnp.tile(jnp.arange(b), w_count)
-        t = g1_limb.select_point(lane_digit == 0, g1_limb.identity(w_count * b), t)
-        # tree-reduce the bucket axis to one point per window
-        lanes = b
-        while lanes > 1:
-            half = lanes // 2
-            t3 = tuple(a.reshape(24, w_count, lanes) for a in t)
-            left = tuple(a[:, :, :half].reshape(24, w_count * half) for a in t3)
-            right = tuple(a[:, :, half:].reshape(24, w_count * half) for a in t3)
-            t = g1_limb.add(left, right)
-            lanes = half
-        return t  # ([24, W],)*3
+        # fold the segment axis: [24, W, S, B] -> [24, W, B]
+        s = segs
+        while s > 1:
+            half = s // 2
+            t4 = tuple(a.reshape(24, w_count, s, b) for a in acc)
+            left = tuple(a[:, :, :half].reshape(24, w_count * half * b) for a in t4)
+            right = tuple(a[:, :, half:].reshape(24, w_count * half * b) for a in t4)
+            acc = g1_limb.add(left, right)
+            s = half
+
+        # Σ_d d·S_d per window via two suffix passes: first T_j = Σ_{d≥j} S_d,
+        # then (with T_0 zeroed — digit 0 has weight 0) lane 0 of a second
+        # suffix pass is Σ_{j≥1} T_j = Σ_d d·S_d.
+        t = suffix_pass(tuple(a.reshape(24, w_count, b) for a in acc))
+        ident = tuple(a.reshape(24, w_count, b) for a in g1_limb.identity(w_count * b))
+        t = tuple(
+            jnp.concatenate([i[:, :, :1], a[:, :, 1:]], axis=2)
+            for a, i in zip(t, ident)
+        )
+        t = suffix_pass(t)
+        return tuple(a[:, :, 0] for a in t)  # ([24, W],)*3
 
     return jax.jit(run)
 
@@ -157,13 +219,15 @@ def msm_device(points_lm, scalars_std: np.ndarray, c: int = 8,
     n = scalars_std.shape[0]
     if n == 0:
         return G1Point.identity()
-    b = 1 << c
     w_count = (SCALAR_BITS + c - 1) // c
-    idx, valid = build_schedule(scalars_std, c, offset=offset)
-    X, Y, Z = points_lm
-    fn = _make_accumulate(X.shape[1], idx.shape[0], w_count, b)
-    wins = fn(X, Y, Z, jnp.asarray(idx), jnp.asarray(valid))
-    window_points = g1_limb.points_from_limb_major(wins)
+    groups = build_schedule(scalars_std, c, offset=offset)
+    XYZ = points_lm if not isinstance(points_lm, tuple) else jnp.stack(points_lm)
+    window_points = [G1Point.identity()] * w_count
+    for window_ids, segs, b_g, idx, valid in groups:
+        fn = _make_accumulate(XYZ.shape[2], idx.shape[0], len(window_ids), segs, b_g)
+        wins = fn(XYZ, jnp.asarray(idx), jnp.asarray(valid))
+        for w, pt in zip(window_ids, g1_limb.points_from_limb_major(wins)):
+            window_points[w] = pt
     total = G1Point.identity()
     for wp in reversed(window_points):
         for _ in range(c):

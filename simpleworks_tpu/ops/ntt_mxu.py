@@ -42,7 +42,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..fields.bls12_377 import FR_MODULUS, Fr, fr_root_of_unity
 from ..fields.device import LIMB_BITS, LIMB_MASK, int_to_limbs
+from .accel import enable_persistent_compile_cache
 from .mont_mul_pallas import make_mont_mul
+
+enable_persistent_compile_cache()
 
 P = FR_MODULUS
 L = 16            # 16-bit limbs per element (u32 storage)

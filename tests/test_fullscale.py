@@ -42,3 +42,31 @@ def test_schnorr_marlin_reference_scale():
     pk, vk = marlin.index(srs, cs)
     proof = marlin.prove(pk, cs)
     assert marlin.verify(vk, [], proof)
+
+
+def test_simple_payments_proven_transaction_reference_scale():
+    """The reference's headline path (examples/simple-payments/
+    transaction.rs:89-139): Transaction::validate with the FULL Marlin leg —
+    fresh SRS(100k, 25k, 300k) + index + prove + verify per transaction,
+    plus the native Schnorr verify — exercised end-to-end through
+    State.apply_transaction (ledger.rs:176-193)."""
+    from simpleworks_tpu.examples.simple_payments.ledger import Parameters, State
+    from simpleworks_tpu.examples.simple_payments.transaction import Transaction
+    from simpleworks_tpu.utils.rng import test_rng
+
+    rng = test_rng()
+    pp = Parameters.sample(rng, prove_transactions=True)
+    state = State(4, pp)
+    alice, _alice_pk, alice_sk = state.sample_keys_and_register(pp, rng)
+    bob, _bob_pk, _bob_sk = state.sample_keys_and_register(pp, rng)
+    state.update_balance(alice, 50)
+
+    tx = Transaction.create(pp, alice, bob, 20, alice_sk, rng)
+    assert state.apply_transaction(pp, tx, rng)
+    assert state.id_to_account_info[alice].balance == 30
+    assert state.id_to_account_info[bob].balance == 20
+
+    # invalid: overdraw fails validation WITHOUT minting a proof of a false
+    # statement (balance check is native, reference transaction.rs:181)
+    bad = Transaction.create(pp, alice, bob, 1000, alice_sk, rng)
+    assert state.apply_transaction(pp, bad, rng) is None

@@ -1,0 +1,84 @@
+"""Device Pippenger MSM (ops/msm_pippenger) vs host oracle — bit-exact
+group elements, identity/zero-scalar edge cases, offset windows."""
+
+import numpy as np
+import pytest
+
+from simpleworks_tpu.curves.bls12_377 import G1Point
+from simpleworks_tpu.fields.bls12_377 import FR_MODULUS
+from simpleworks_tpu.fields.frvec import FrVec
+from simpleworks_tpu.kzg.msm import msm
+from simpleworks_tpu.ops import g1_limb, msm_pippenger
+
+rng = np.random.default_rng(11)
+
+
+def scalars_to_std(scalars):
+    return FrVec.from_ints(scalars).to_std_array()
+
+
+def make_points(n):
+    g = G1Point.generator()
+    return [g.scalar_mul(i * 7919 + 3) for i in range(n)]
+
+
+def test_window_digits_reconstruct():
+    scalars = [int.from_bytes(rng.bytes(31), "little") % FR_MODULUS for _ in range(9)]
+    std = scalars_to_std(scalars)
+    for c in (8, 13):
+        digits = msm_pippenger.window_digits(std, c)
+        for i, s in enumerate(scalars):
+            rebuilt = sum(int(digits[w, i]) << (w * c) for w in range(digits.shape[0]))
+            assert rebuilt == s
+
+
+def test_limb_major_roundtrip_and_add():
+    pts = make_points(6)
+    lm = g1_limb.points_to_limb_major(pts)
+    back = g1_limb.points_from_limb_major(lm)
+    for p, q in zip(pts, back):
+        assert p == q
+    # batched add vs host: pts[i] + pts[(i+1)%6]
+    import jax.numpy as jnp
+
+    rolled = tuple(jnp.roll(a, -1, axis=1) for a in lm)
+    s = g1_limb.add(lm, rolled)
+    expected = [pts[i].add(pts[(i + 1) % 6]) for i in range(6)]
+    for p, q in zip(g1_limb.points_from_limb_major(s), expected):
+        assert p == q
+
+
+def test_limb_major_add_edge_cases():
+    g = G1Point.generator()
+    p2 = g.double()
+    cases = [
+        (g, g),                      # equal -> double
+        (g, g.neg()),                # opposite -> identity
+        (G1Point.identity(), p2),    # left identity
+        (p2, G1Point.identity()),    # right identity
+        (G1Point.identity(), G1Point.identity()),
+    ]
+    lhs = g1_limb.points_to_limb_major([a for a, _ in cases])
+    rhs = g1_limb.points_to_limb_major([b for _, b in cases])
+    out = g1_limb.points_from_limb_major(g1_limb.add(lhs, rhs))
+    for (a, b), got in zip(cases, out):
+        assert got == a.add(b), (a, b)
+
+
+@pytest.mark.parametrize("n,c", [(33, 8), (64, 6)])
+def test_msm_device_matches_host(n, c):
+    pts = make_points(n)
+    scalars = [int.from_bytes(rng.bytes(33), "little") % FR_MODULUS for _ in range(n)]
+    scalars[0] = 0          # zero scalar skipped
+    scalars[-1] = 1         # unit scalar
+    lm = g1_limb.points_to_limb_major(pts)
+    got = msm_pippenger.msm_device(lm, scalars_to_std(scalars), c=c)
+    assert got == msm(pts, scalars)
+
+
+def test_msm_device_offset():
+    pts = make_points(12)
+    lm = g1_limb.points_to_limb_major(pts)
+    scalars = [i + 1 for i in range(8)]
+    got = msm_pippenger.msm_device(lm, scalars_to_std(scalars), c=8, offset=4)
+    assert got == msm(pts[4:12], scalars)
