@@ -1,12 +1,24 @@
-"""Benchmark: BLS12-377 Fr Montgomery-mul throughput per chip (the
-north-star kernel metric from BASELINE.json: 'field muls/sec/chip').
+"""Benchmarks for the three BASELINE.json north-star metrics on one chip:
 
-Also measures NTT throughput as a secondary (printed to stderr).  The
-``vs_baseline`` ratio compares against an estimated single-thread arkworks
-CPU rate of 3e7 muls/s (the reference publishes no numbers — BASELINE.md;
-arkworks Fr mul ≈ 30ns single-thread is the community ballpark).
+1. ``fr_montmul_throughput_per_chip`` (headline JSON line) — BLS12-377 Fr
+   Montgomery-mul throughput of the Pallas VMEM kernel.
+2. ``msm_points_per_sec`` — device Pippenger MSM (ops/msm_pippenger) at
+   N = 2^17, end-to-end per call (host schedule + grid transfer + device
+   accumulation + window fold), bit-checked against the native host
+   Pippenger, whose throughput is also reported.
+3. ``marlin_proofs_per_sec`` — ``marlin.prove`` wall time on the Schnorr
+   verification circuit (the simple-payments signature workload,
+   reference examples/simple-payments/transaction.rs:89-139) at the
+   reference SRS scale (100_000, 25_000, 300_000), with the framework's
+   default acceleration routing; SRS+index time reported separately.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline``
+compares the headline against the community-ballpark single-thread
+arkworks CPU rate of 3e7 Fr muls/s; per-metric baselines for the extras
+(this host's native single-thread MSM, the r1 CPU prove time) live in the
+``extra`` object of the same JSON line.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 from __future__ import annotations
@@ -20,14 +32,16 @@ import jax
 import jax.numpy as jnp
 
 ARKWORKS_CPU_MULS_PER_SEC = 3.0e7
+MSM_N = 1 << 17
 
 
-def main() -> None:
+def log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def bench_montmul() -> float:
     from simpleworks_tpu.fields.bls12_377 import Fr, FR_MODULUS
-    from simpleworks_tpu.fields.device import DeviceField
     from simpleworks_tpu.fields.pack import pack_standard
-    
-
     from simpleworks_tpu.ops.mont_mul_pallas import make_mont_mul
 
     batch = 1 << 19
@@ -36,50 +50,147 @@ def main() -> None:
     R = Fr.PARAMS.montgomery_r
     a = jnp.asarray(pack_standard([v * R % FR_MODULUS for v in vals], Fr.PARAMS)).T.copy()
     b = jnp.roll(a, 1, axis=1)
-
-    mul = make_mont_mul(Fr.PARAMS)  # Pallas VMEM kernel, limb-major layout
+    mul = make_mont_mul(Fr.PARAMS)
     out = mul(a, b)
-    out.block_until_ready()  # compile
+    out.block_until_ready()
     iters = 20
     start = time.perf_counter()
     for _ in range(iters):
         out = mul(out, b)
     out.block_until_ready()
-    elapsed = time.perf_counter() - start
-    mul_throughput = batch * iters / elapsed
+    rate = batch * iters / (time.perf_counter() - start)
+    log(f"fr mont-mul: {rate:.3e} muls/s")
+    return rate
 
-    # secondary: MXU NTT throughput (elements transformed / sec); guarded so
-    # the headline JSON line always prints
+
+def bench_ntt() -> dict:
+    from simpleworks_tpu.fields.bls12_377 import Fr, FR_MODULUS
+    from simpleworks_tpu.fields.pack import pack_standard
+    from simpleworks_tpu.ops.ntt_mxu import get_mxu_ntt
+
+    n = 1 << 16
+    rng = np.random.default_rng(2)
+    vals = [int(v) % FR_MODULUS for v in rng.integers(0, 1 << 62, size=n)]
+    R = Fr.PARAMS.montgomery_r
+    x = jnp.asarray(pack_standard([v * R % FR_MODULUS for v in vals], Fr.PARAMS)).T.copy()
+    ntt = get_mxu_ntt(n)
+    fwd = jax.jit(ntt.fft_mont)
+    y = fwd(x)
+    y.block_until_ready()
+    iters = 20
+    start = time.perf_counter()
+    for _ in range(iters):
+        y = fwd(y)
+    y.block_until_ready()
+    elapsed = (time.perf_counter() - start) / iters
+    log(f"mxu ntt n={n}: {elapsed * 1e3:.2f} ms/transform ({n / elapsed:.3e} elem/s)")
+    return {"mxu_ntt_n65536_ms": round(elapsed * 1e3, 3),
+            "mxu_ntt_elems_per_sec": round(n / elapsed, 1)}
+
+
+def bench_msm() -> dict:
+    from simpleworks_tpu import native
+    from simpleworks_tpu.curves.bls12_377 import G1Point
+    from simpleworks_tpu.fields.bls12_377 import FR_MODULUS as P
+    from simpleworks_tpu.fields.frvec import FrVec
+    from simpleworks_tpu.ops import g1_limb, msm_pippenger
+
+    if not native.available():
+        log("msm: native runtime missing — skipped")
+        return {}
+    g = G1Point.generator()
+    pts_native = native.g1_fixed_base_raw(
+        g, [(i * 2862933555777941757 + 3037000493) % P for i in range(MSM_N)]
+    )
+    rng = np.random.default_rng(3)
+    scalars = [int.from_bytes(rng.bytes(33), "little") % P for _ in range(MSM_N)]
+    std = FrVec.from_ints(scalars).to_std_array()
+
+    t0 = time.perf_counter()
+    host_res = native.g1_msm_arr(pts_native, std)
+    host_s = time.perf_counter() - t0
+    log(f"native host msm 2^17: {host_s:.2f}s ({MSM_N / host_s:.0f} pts/s)")
+
+    pts_dev = jax.device_put(g1_limb.native_points_to_limb_major(pts_native))
+    jax.block_until_ready(pts_dev)
+    res = msm_pippenger.msm_device(pts_dev, std, c=8)  # compile + warm
+    assert res == host_res, "device MSM mismatch vs host Pippenger"
+    t0 = time.perf_counter()
+    res = msm_pippenger.msm_device(pts_dev, std, c=8)
+    dev_s = time.perf_counter() - t0
+    assert res == host_res
+    log(f"device msm 2^17: {dev_s:.2f}s ({MSM_N / dev_s:.0f} pts/s, bit-exact)")
+    return {
+        "msm_points_per_sec": round(MSM_N / dev_s, 1),
+        "msm_n": MSM_N,
+        "msm_host_native_points_per_sec": round(MSM_N / host_s, 1),
+        "msm_device_vs_host_native": round(host_s / dev_s, 2),
+    }
+
+
+def bench_marlin_prove() -> dict:
+    from simpleworks_tpu import marlin
+    from simpleworks_tpu.examples.schnorr_circuit import synthesize
+    from simpleworks_tpu.schnorr import schnorr
+    from simpleworks_tpu.utils.rng import test_rng
+
+    rng = test_rng()
+    params = schnorr.setup(rng)
+    pk_s, sk = schnorr.keygen(params, rng)
+    message = b"a message to sign"
+    sig = schnorr.sign(params, sk, message, rng)
+    t0 = time.perf_counter()
+    cs = synthesize(params, pk_s, message, sig)
+    synth_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    srs = marlin.universal_setup(100_000, 25_000, 300_000, marlin.generate_rand())
+    srs_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pk, vk = marlin.index(srs, cs)
+    index_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    proof = marlin.prove(pk, cs)
+    prove_s = time.perf_counter() - t0
+    ok = marlin.verify(vk, [], proof)
+    log(
+        f"marlin schnorr@(100k,25k,300k): synth={synth_s:.1f}s srs={srs_s:.1f}s "
+        f"index={index_s:.1f}s prove={prove_s:.1f}s verify_ok={ok}"
+    )
+    return {
+        "marlin_proofs_per_sec": round(1.0 / prove_s, 4),
+        "marlin_prove_seconds": round(prove_s, 2),
+        "marlin_srs_seconds": round(srs_s, 2),
+        "marlin_index_seconds": round(index_s, 2),
+        "marlin_circuit": "schnorr-verify (simple-payments signature), SRS(100k,25k,300k)",
+        "marlin_verify_ok": bool(ok),
+    }
+
+
+def main() -> None:
+    extra: dict = {}
+    rate = bench_montmul()
     try:
-        from simpleworks_tpu.ops.ntt_mxu import get_mxu_ntt
-
-        n = 1 << 16
-        ntt = get_mxu_ntt(n)
-        x = a[:, :n]  # limb-major [16, n]
-        fwd = jax.jit(ntt.fft_mont)
-        y = fwd(x)
-        y.block_until_ready()
-        start = time.perf_counter()
-        ntt_iters = 20
-        for _ in range(ntt_iters):
-            y = fwd(y)
-        y.block_until_ready()
-        ntt_elapsed = time.perf_counter() - start
-        print(
-            f"[bench] mxu ntt n={n}: {ntt_elapsed / ntt_iters * 1e3:.2f} ms/transform "
-            f"({n * ntt_iters / ntt_elapsed:.3e} elem/s)",
-            file=sys.stderr,
-        )
+        extra.update(bench_ntt())
     except Exception as exc:  # pragma: no cover
-        print(f"[bench] ntt secondary failed: {exc}", file=sys.stderr)
+        log(f"ntt failed: {exc}")
+    try:
+        extra.update(bench_msm())
+    except Exception as exc:  # pragma: no cover
+        log(f"msm failed: {exc}")
+    try:
+        extra.update(bench_marlin_prove())
+    except Exception as exc:  # pragma: no cover
+        log(f"marlin failed: {exc}")
 
     print(
         json.dumps(
             {
                 "metric": "fr_montmul_throughput_per_chip",
-                "value": round(mul_throughput, 1),
+                "value": round(rate, 1),
                 "unit": "muls/sec",
-                "vs_baseline": round(mul_throughput / ARKWORKS_CPU_MULS_PER_SEC, 3),
+                "vs_baseline": round(rate / ARKWORKS_CPU_MULS_PER_SEC, 3),
+                "extra": extra,
             }
         )
     )

@@ -49,7 +49,7 @@ def _forced() -> bool:
 
 
 NTT_DEVICE_THRESHOLD = int(os.environ.get("SWTPU_NTT_THRESHOLD", 4096))
-MSM_DEVICE_THRESHOLD = int(os.environ.get("SWTPU_MSM_THRESHOLD", 8192))
+MSM_DEVICE_THRESHOLD = int(os.environ.get("SWTPU_MSM_THRESHOLD", 65536))
 NTT_MIN_LINK_MBPS = float(os.environ.get("SWTPU_NTT_MIN_MBPS", 400.0))
 MSM_MIN_LINK_MBPS = float(os.environ.get("SWTPU_MSM_MIN_MBPS", 40.0))
 

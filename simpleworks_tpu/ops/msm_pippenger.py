@@ -143,21 +143,29 @@ def build_schedule(scalars_std: np.ndarray, c: int, offset: int = 0):
     return out
 
 
-@lru_cache(maxsize=16)
-def _make_accumulate(n_points: int, depth: int, w_count: int, segs: int, b: int):
-    """Jitted: (XYZ [3, 24, n_points], idx, valid) -> [24, W] window sums.
-
-    The graph stays small — a handful of point-add subgraphs — because the
-    D accumulation steps (lax.scan), the log₂(S) segment folds (unrolled
-    halving), and the 2·log₂(B) bucket-combine steps (lax.fori_loop with a
-    dynamic-slice shift) each trace their point add once."""
+def accumulate_windows(XYZ, idx, valid, w_count: int, segs: int, b: int,
+                       axis_name: str | None = None):
+    """(XYZ [3, 24, n_local], idx [D, W·S·B], valid) -> ([24, W],)*3 window
+    sums.  The graph stays small — a handful of point-add subgraphs —
+    because the D accumulation steps (lax.scan), the log₂(S) segment folds
+    (unrolled halving), and the 2·log₂(B) bucket-combine steps
+    (lax.fori_loop with a dynamic-slice shift) each trace their point add
+    once.  ``axis_name``: set inside shard_map so loop carries acquire the
+    mesh-varying type."""
     log_b = b.bit_length() - 1
+
+    def vary(t3):
+        if axis_name is None:
+            return t3
+        return tuple(jax.lax.pvary(a, (axis_name,)) for a in t3)
 
     def suffix_pass(t):
         """Inclusive suffix sums along the bucket axis of ([24, W, B],)*3:
         T_j ← Σ_{d≥j} T_d.  Shift-by-k slides in identity via a padded
         dynamic slice (no wraparound, no mask)."""
-        pad = tuple(a.reshape(24, w_count, b) for a in g1_limb.identity(w_count * b))
+        pad = tuple(
+            a.reshape(24, w_count, b) for a in vary(g1_limb.identity(w_count * b))
+        )
 
         def body(i, t):
             k = jnp.int32(1) << i
@@ -174,40 +182,48 @@ def _make_accumulate(n_points: int, depth: int, w_count: int, segs: int, b: int)
         return jax.lax.fori_loop(0, log_b, body, t)
 
     lanes = w_count * segs * b
+    acc = vary(g1_limb.identity(lanes))
+
+    def step(acc, xs):
+        idx_d, valid_d = xs
+        pts3 = jnp.take(XYZ, idx_d, axis=2)  # one gather for all coords
+        pts = (pts3[0], pts3[1], pts3[2])
+        added = g1_limb.add(acc, pts)
+        return g1_limb.select_point(valid_d, added, acc), None
+
+    acc, _ = jax.lax.scan(step, acc, (idx, valid))
+
+    # fold the segment axis: [24, W, S, B] -> [24, W, B]
+    s = segs
+    while s > 1:
+        half = s // 2
+        t4 = tuple(a.reshape(24, w_count, s, b) for a in acc)
+        left = tuple(a[:, :, :half].reshape(24, w_count * half * b) for a in t4)
+        right = tuple(a[:, :, half:].reshape(24, w_count * half * b) for a in t4)
+        acc = g1_limb.add(left, right)
+        s = half
+
+    # Σ_d d·S_d per window via two suffix passes: first T_j = Σ_{d≥j} S_d,
+    # then (with T_0 zeroed — digit 0 has weight 0) lane 0 of a second
+    # suffix pass is Σ_{j≥1} T_j = Σ_d d·S_d.
+    t = suffix_pass(tuple(a.reshape(24, w_count, b) for a in acc))
+    ident = tuple(
+        a.reshape(24, w_count, b) for a in vary(g1_limb.identity(w_count * b))
+    )
+    t = tuple(
+        jnp.concatenate([i[:, :, :1], a[:, :, 1:]], axis=2)
+        for a, i in zip(t, ident)
+    )
+    t = suffix_pass(t)
+    return tuple(a[:, :, 0] for a in t)  # ([24, W],)*3
+
+
+@lru_cache(maxsize=16)
+def _make_accumulate(n_points: int, depth: int, w_count: int, segs: int, b: int):
+    """Jitted single-chip wrapper around :func:`accumulate_windows`."""
 
     def run(XYZ, idx, valid):
-        acc = g1_limb.identity(lanes)
-
-        def step(acc, xs):
-            idx_d, valid_d = xs
-            pts3 = jnp.take(XYZ, idx_d, axis=2)  # one gather for all coords
-            pts = (pts3[0], pts3[1], pts3[2])
-            added = g1_limb.add(acc, pts)
-            return g1_limb.select_point(valid_d, added, acc), None
-
-        acc, _ = jax.lax.scan(step, acc, (idx, valid))
-
-        # fold the segment axis: [24, W, S, B] -> [24, W, B]
-        s = segs
-        while s > 1:
-            half = s // 2
-            t4 = tuple(a.reshape(24, w_count, s, b) for a in acc)
-            left = tuple(a[:, :, :half].reshape(24, w_count * half * b) for a in t4)
-            right = tuple(a[:, :, half:].reshape(24, w_count * half * b) for a in t4)
-            acc = g1_limb.add(left, right)
-            s = half
-
-        # Σ_d d·S_d per window via two suffix passes: first T_j = Σ_{d≥j} S_d,
-        # then (with T_0 zeroed — digit 0 has weight 0) lane 0 of a second
-        # suffix pass is Σ_{j≥1} T_j = Σ_d d·S_d.
-        t = suffix_pass(tuple(a.reshape(24, w_count, b) for a in acc))
-        ident = tuple(a.reshape(24, w_count, b) for a in g1_limb.identity(w_count * b))
-        t = tuple(
-            jnp.concatenate([i[:, :, :1], a[:, :, 1:]], axis=2)
-            for a, i in zip(t, ident)
-        )
-        t = suffix_pass(t)
-        return tuple(a[:, :, 0] for a in t)  # ([24, W],)*3
+        return accumulate_windows(XYZ, idx, valid, w_count, segs, b)
 
     return jax.jit(run)
 

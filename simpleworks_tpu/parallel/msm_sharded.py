@@ -1,15 +1,23 @@
-"""Mesh-sharded MSM over BLS12-377 G1 (SURVEY.md §2.4 'Distributed
-Pippenger MSM' slot).
+"""Mesh-sharded Pippenger MSM over BLS12-377 G1 (SURVEY.md §2.4
+'Distributed Pippenger MSM'; the KZG commit under
+``/root/reference/src/marlin/mod.rs:12`` at pod scale).
 
-Points and scalars are sharded across the mesh axis; each device runs a
-batched double-and-add ladder over its shard (uint32 limb lanes,
-branchless Jacobian ops), tree-reduces its lanes, and partial sums are
-combined with an all_gather + local tree reduction over ICI.
+Points are sharded across the mesh axis; each device runs the single-chip
+bucket accumulation (:func:`simpleworks_tpu.ops.msm_pippenger.
+accumulate_windows` — host-sorted gather grids, one masked complete-add
+scan, suffix-sum bucket combine) over ITS shard of every Pippenger
+window.  Window sums leave the shard_map region *sharded*
+(``P(axis, ...)`` — statically checkable, no replication inference) and
+the cross-device combine is a small Jacobian tree reduction in the
+enclosing jit, riding ICI via XLA's resharding.  A final Horner fold over
+windows happens on the host (W·c cheap point ops).
+
+The round-1 ladder (253 sequential double-and-add steps, O(bits·N) point
+ops) is replaced wholesale: per-device work is now the Pippenger optimum
+W·N/P lane-adds times a small padding factor.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import numpy as np
 import jax
@@ -18,101 +26,171 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..curves.bls12_377 import G1Point
-from ..curves import g1_device as g1d
 from ..fields.bls12_377 import FR_MODULUS
+from ..fields.frvec import FrVec
+from ..ops import g1_limb
+from ..ops.msm_pippenger import (
+    SCALAR_BITS,
+    _round_up_depth,
+    accumulate_windows,
+    window_digits,
+)
 
 
-def scalars_to_bits(scalars: list[int], num_bits: int = 253) -> np.ndarray:
-    bits = np.zeros((len(scalars), num_bits), dtype=bool)
-    for i, s in enumerate(scalars):
-        s = int(s) % FR_MODULUS
-        for b in range(num_bits):
-            bits[i, b] = (s >> b) & 1
-    return bits
+def build_sharded_schedule(scalars_std: np.ndarray, c: int, n_shards: int):
+    """Per-shard gather grids with a COMMON shape across shards (one SPMD
+    program): scalars are split into ``n_shards`` contiguous shards; window
+    grouping / bucket counts / depths are computed globally (max over
+    shards) so every device runs the same accumulate.
+
+    -> (w_count, [(window_ids, segs, b_g, idx [n_shards, D, lanes],
+        valid [n_shards, D, lanes])]).
+    """
+    from ..ops.msm_pippenger import _TARGET_LANES
+
+    n = scalars_std.shape[0]
+    assert n % n_shards == 0, "pad the scalar count to the shard count"
+    per = n // n_shards
+    digits = window_digits(scalars_std, c)  # [W, n]
+    w_count = digits.shape[0]
+    b = 1 << c
+
+    # per (shard, window): sorted entries + depth
+    entries: list[list[tuple]] = [[] for _ in range(w_count)]
+    depth_w = [0] * w_count
+    max_digit_w = [1] * w_count
+    for s in range(n_shards):
+        lo, hi = s * per, (s + 1) * per
+        for w in range(w_count):
+            dw = digits[w, lo:hi]
+            order = np.argsort(dw, kind="stable")
+            sd = dw[order]
+            counts = np.bincount(sd, minlength=b)
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            ranks = np.arange(per) - starts[sd]
+            keep = sd > 0
+            if keep.any():
+                depth_w[w] = max(depth_w[w], int(ranks[keep].max()) + 1)
+                max_digit_w[w] = max(max_digit_w[w], int(sd.max()))
+            entries[w].append((order[keep], sd[keep], ranks[keep]))
+
+    # group windows by depth (same policy as the single-chip scheduler)
+    ordered = sorted(range(w_count), key=lambda w: depth_w[w])
+    groups: list[list[int]] = []
+    for w in ordered:
+        if groups and depth_w[w] <= max(2 * max(depth_w[groups[-1][0]], 8), 64):
+            groups[-1].append(w)
+        else:
+            groups.append([w])
+
+    out = []
+    for group in groups:
+        raw_depth = max(max(depth_w[w] for w in group), 1)
+        g = len(group)
+        max_digit = max(max_digit_w[w] for w in group)
+        b_g = 1
+        while b_g <= max_digit:
+            b_g <<= 1
+        b_g = max(b_g, 2)
+        segs = 1
+        while g * b_g * segs < _TARGET_LANES and segs * 2 <= raw_depth:
+            segs <<= 1
+        depth = _round_up_depth((raw_depth + segs - 1) // segs)
+        idx = np.zeros((n_shards, depth, g, segs, b_g), dtype=np.int32)
+        valid = np.zeros((n_shards, depth, g, segs, b_g), dtype=bool)
+        for slot, w in enumerate(group):
+            for s in range(n_shards):
+                point_idx, sd, ranks = entries[w][s]
+                seg = ranks // depth
+                row = ranks % depth
+                idx[s, row, slot, seg, sd] = point_idx  # shard-local indices
+                valid[s, row, slot, seg, sd] = True
+        lanes = g * segs * b_g
+        out.append(
+            (group, segs, b_g,
+             idx.reshape(n_shards, depth, lanes),
+             valid.reshape(n_shards, depth, lanes))
+        )
+    return w_count, out
 
 
-def _local_msm(px, py, pz, bits, axis_name=None):
-    """Batched ladder: acc_i = s_i · P_i, then lane tree-reduce.
-    px/py/pz: [n_local, L]; bits: [n_local, num_bits]."""
-
-    def step(carry, bit_col):
-        acc, base = carry
-        added = g1d.add(acc, base)
-        acc = g1d.select_point(bit_col, added, acc)
-        base = g1d.double(base)
-        return (acc, base), None
-
-    acc0 = g1d.identity_like((px.shape[0],))
-    if axis_name is not None:
-        # inside shard_map the carry must carry the varying-axis type
-        acc0 = tuple(jax.lax.pvary(x, (axis_name,)) for x in acc0)
-    (acc, _base), _ = jax.lax.scan(step, (acc0, (px, py, pz)), bits.T)
-    return g1d.tree_reduce(acc)
-
-
-def make_sharded_msm(mesh: Mesh, axis_name: str, num_bits: int = 253):
-    """Build a jitted sharded MSM: (points [N,L]×3, bits [N,num_bits]) -> one
-    Jacobian point (replicated [1, L] coordinate triple).
-
-    Each device reduces its shard to one partial point; the partials come out
-    of the shard_map region *sharded* (``P(axis, None)`` — the spec shard_map
-    can verify without replication inference, which the earlier
-    all_gather-inside formulation failed: round-1 dryrun rc=1) and the
-    cross-device combine is a small Jacobian tree reduction in the enclosing
-    jit, riding ICI via XLA's resharding."""
+def make_sharded_msm(mesh: Mesh, axis_name: str, w_count: int, segs: int, b: int):
+    """Jitted SPMD MSM stage for one window group: (XYZ [3, 24, N] sharded
+    on points, idx/valid [n_dev, D, lanes] sharded on the leading axis) ->
+    ([24, W],)*3 combined window sums (replicated small output)."""
     n_dev = mesh.shape[axis_name]
 
-    def local_step(px, py, pz, bits):
-        # ([1, L],) * 3 — this device's partial sum
-        return _local_msm(px, py, pz, bits, axis_name=axis_name)
+    def local_step(xyz, idx, valid):
+        wins = accumulate_windows(
+            xyz, idx[0], valid[0], w_count, segs, b, axis_name=axis_name
+        )
+        return jnp.stack(wins)[None]  # [1, 3, 24, W]
 
     sharded = shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(
-            P(axis_name, None),
-            P(axis_name, None),
-            P(axis_name, None),
-            P(axis_name, None),
-        ),
-        out_specs=(P(axis_name, None), P(axis_name, None), P(axis_name, None)),
+        in_specs=(P(None, None, axis_name), P(axis_name, None, None),
+                  P(axis_name, None, None)),
+        out_specs=P(axis_name, None, None, None),
     )
 
-    def run(px, py, pz, bits):
-        parts = sharded(px, py, pz, bits)  # ([n_dev, L],) * 3
-        # pad the device count to a power of two with identity points
-        target = 1
-        while target < n_dev:
-            target <<= 1
-        if target != n_dev:
-            ix, iy, iz = g1d.identity_like((target - n_dev,))
-            parts = (
-                jnp.concatenate([parts[0], ix]),
-                jnp.concatenate([parts[1], iy]),
-                jnp.concatenate([parts[2], iz]),
+    def run(xyz, idx, valid):
+        parts = sharded(xyz, idx, valid)  # [n_dev, 3, 24, W]
+        n = n_dev
+        while n > 1:
+            half = n // 2
+            left = tuple(
+                jnp.moveaxis(parts[:half, i], 0, -1).reshape(24, half * w_count)
+                for i in range(3)
             )
-        return g1d.tree_reduce(parts)
+            right = tuple(
+                jnp.moveaxis(parts[half:n, i], 0, -1).reshape(24, half * w_count)
+                for i in range(3)
+            )
+            summed = g1_limb.add(left, right)
+            parts = jnp.stack(
+                [jnp.moveaxis(a.reshape(24, w_count, half), -1, 0) for a in summed],
+                axis=1,
+            )
+            n = half
+        return tuple(parts[0, i] for i in range(3))  # ([24, W],)*3
 
     return jax.jit(run)
 
 
-def sharded_msm_host(mesh: Mesh, axis_name: str, points: list[G1Point], scalars: list[int]) -> G1Point:
-    """Host wrapper: pad to a device-divisible power-of-two lane count."""
+def sharded_msm_host(mesh: Mesh, axis_name: str, points: list[G1Point],
+                     scalars: list[int], c: int = 8) -> G1Point:
+    """Host wrapper: pad to a device-divisible point count, build per-shard
+    schedules, run every window group over the mesh, fold windows."""
     n_dev = mesh.shape[axis_name]
-    n = max(2, len(points))
-    target = 1
-    while target < n or target % n_dev:
-        target <<= 1
-    pts = list(points) + [G1Point.identity()] * (target - len(points))
-    scs = list(scalars) + [0] * (target - len(scalars))
-    px, py, pz = g1d.points_to_device(pts)
-    bits = jnp.asarray(scalars_to_bits(scs))
-    run = make_sharded_msm(mesh, axis_name)
-    spec = NamedSharding(mesh, P(axis_name, None))
-    out = run(
-        jax.device_put(px, spec),
-        jax.device_put(py, spec),
-        jax.device_put(pz, spec),
-        jax.device_put(bits, spec),
+    n = len(points)
+    target = max(n_dev, ((n + n_dev - 1) // n_dev) * n_dev)
+    pts = list(points) + [G1Point.identity()] * (target - n)
+    scs = [int(s) % FR_MODULUS for s in scalars] + [0] * (target - n)
+    std = FrVec.from_ints(scs).to_std_array()
+    xyz = np.stack([np.asarray(a) for a in _points_to_stacked(pts)])
+    xyz_dev = jax.device_put(
+        jnp.asarray(xyz), NamedSharding(mesh, P(None, None, axis_name))
     )
-    return g1d.points_from_device(out)[0]
+    w_count, groups = build_sharded_schedule(std, c, n_dev)
+    window_points = [G1Point.identity()] * w_count
+    grid_spec = NamedSharding(mesh, P(axis_name, None, None))
+    for window_ids, segs, b_g, idx, valid in groups:
+        run = make_sharded_msm(mesh, axis_name, len(window_ids), segs, b_g)
+        wins = run(
+            xyz_dev,
+            jax.device_put(jnp.asarray(idx), grid_spec),
+            jax.device_put(jnp.asarray(valid), grid_spec),
+        )
+        for w, pt in zip(window_ids, g1_limb.points_from_limb_major(wins)):
+            window_points[w] = pt
+    total = G1Point.identity()
+    for wp in reversed(window_points):
+        for _ in range(c):
+            total = total.double()
+        total = total.add(wp)
+    return total
+
+
+def _points_to_stacked(points: list[G1Point]):
+    return g1_limb.points_to_limb_major(points)
