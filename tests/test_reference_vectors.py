@@ -179,3 +179,71 @@ def test_hash_digests_pinned():
     d1 = pedersen_hash(b"\x01\x02\x03")
     d2 = poseidon2_hash(b"\x01\x02\x03")
     assert (d1, d2) == PINNED_DIGESTS, (d1, d2)
+
+
+# -------------------- arkworks 0.3 CanonicalSerialize layout contracts --------
+
+
+def test_g1_compressed_layout():
+    """SW compressed: x as 48 LE bytes with 2 flag bits in the top byte —
+    0x80 = y is lexicographically largest, 0x40 = infinity (arkworks 0.3
+    SWFlags; consumed by src/marlin/serialization.rs)."""
+    from simpleworks_tpu.curves.bls12_377 import G1Point
+    from simpleworks_tpu.fields.bls12_377 import FQ_MODULUS, Fq
+
+    inf = G1Point.identity().serialize_compressed()
+    assert len(inf) == 48
+    assert inf[-1] == 0x40 and all(b == 0 for b in inf[:-1])
+
+    g = G1Point.generator()
+    enc = g.serialize_compressed()
+    assert len(enc) == 48
+    x, y = g.to_affine()
+    x_bytes = bytearray(Fq(x).serialize())
+    flag = 0x80 if y > (FQ_MODULUS - y) % FQ_MODULUS else 0
+    x_bytes[-1] |= flag
+    assert enc == bytes(x_bytes)
+    assert G1Point.deserialize_compressed(enc) == g
+    # negation flips exactly the sign flag
+    assert G1Point.deserialize_compressed(g.neg().serialize_compressed()) == g.neg()
+    assert (g.neg().serialize_compressed()[-1] ^ enc[-1]) == 0x80
+
+
+def test_g2_and_edwards_compressed_roundtrip():
+    from simpleworks_tpu.curves.bls12_377 import G2Point
+    from simpleworks_tpu.curves.edwards import GENERATOR, EdwardsPoint
+
+    g2 = G2Point.generator().scalar_mul(7)
+    enc = g2.serialize_compressed()
+    assert len(enc) == 96  # Fq2 = 2 x 48 LE bytes, flags in the top byte
+    assert G2Point.deserialize_compressed(enc) == g2
+
+    e = GENERATOR.scalar_mul(11)
+    enc = e.serialize_compressed()
+    assert len(enc) == 32  # TE compressed: x with the y-sign bit on top
+    assert EdwardsPoint.deserialize_compressed(enc) == e
+    ident = EdwardsPoint.identity().serialize_compressed()
+    assert ident == bytes(32)  # (0, 1): x = 0, y not greatest
+
+
+def test_serde_length_prefixes_are_u64_le():
+    """Container formats use 8-byte LE length prefixes (arkworks' u64
+    convention) — checked on a proving-key round-trip elsewhere; here the
+    raw layout of the first field of serialize_proving_key."""
+    import struct
+
+    from simpleworks_tpu import marlin
+    from simpleworks_tpu.examples import test_circuit
+    from simpleworks_tpu.marlin.serialization import (
+        deserialize_proving_key,
+        serialize_proving_key,
+    )
+
+    cs = test_circuit.synthesize(3, 3)
+    srs = marlin.universal_setup(100, 25, 300, marlin.generate_rand())
+    pk, _vk = marlin.index(srs, cs)
+    blob = serialize_proving_key(pk)
+    (vk_len,) = struct.unpack_from("<Q", blob, 0)
+    assert 0 < vk_len < len(blob)
+    pk2 = deserialize_proving_key(blob)
+    assert pk2.vk.info.domain_h_size == pk.vk.info.domain_h_size
