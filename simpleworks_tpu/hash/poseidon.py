@@ -242,3 +242,90 @@ def _uint8_to_field_var(cs, byte_gadget):
     for i, bit in enumerate(byte_gadget.bits):
         lc = lc + bit.lc() * (1 << i)
     return FieldVar(cs, lc, byte_gadget.value())
+
+
+# -- general absorb surface (reference ark-sponge ``Absorb`` /
+#    ``AbsorbGadget``: src/gadgets/poseidon.rs:12-31 absorbs any
+#    AbsorbGadget via to_sponge_bytes; natives absorb field elements) --
+
+
+def absorb(sponge: "PoseidonSponge", value) -> None:
+    """Absorb any supported value: bytes (LE 31-byte chunks), a field
+    element (int), an Edwards point (affine coordinates), or a nested
+    list/tuple of those."""
+    from ..curves.edwards import EdwardsPoint
+
+    if isinstance(value, (bytes, bytearray)):
+        sponge.absorb_elements(bytes_to_field_elements(bytes(value)))
+    elif isinstance(value, bool):
+        sponge.absorb_elements([int(value)])
+    elif isinstance(value, int):
+        sponge.absorb_elements([value % ConstraintF.PARAMS.modulus])
+    elif isinstance(value, EdwardsPoint):
+        x, y = value.to_affine()
+        sponge.absorb_elements([x, y])
+    elif isinstance(value, (list, tuple)):
+        for v in value:
+            absorb(sponge, v)
+    else:
+        raise TypeError(f"cannot absorb {type(value).__name__}")
+
+
+def poseidon2_hash_any(*values) -> int:
+    """Hash arbitrary absorbable values (the general native surface;
+    ``poseidon2_hash`` is the bytes special case)."""
+    sponge = PoseidonSponge()
+    for v in values:
+        absorb(sponge, v)
+    return sponge.squeeze_elements(1)[0]
+
+
+def absorb_gadget(sponge: "PoseidonSponge", value) -> None:
+    """In-circuit absorb: FieldVar, Boolean, UInt8 gadgets (31-byte-packed
+    like the native byte path), Edwards point vars, or lists thereof —
+    the AbsorbGadget surface."""
+    from ..gadgets.boolean import Boolean
+    from ..gadgets.field_var import FieldVar
+    from ..gadgets.uint import UIntGadget
+
+    if isinstance(value, FieldVar):
+        sponge.absorb_elements([value])
+        return
+    if isinstance(value, Boolean):
+        cs = value.cs
+        sponge.absorb_elements([_boolean_to_field_var(cs, value)])
+        return
+    if isinstance(value, (list, tuple)):
+        if value and all(isinstance(v, UIntGadget) and v.width == 8 for v in value):
+            cs = next(b.cs for b in value if b.cs is not None)
+            capacity_bytes = (ConstraintF.PARAMS.modulus_bits - 1) // 8
+            p = ConstraintF.PARAMS.modulus
+            for off in range(0, len(value), capacity_bytes):
+                chunk = value[off : off + capacity_bytes]
+                acc = FieldVar.constant(cs, 0)
+                for i, byte_gadget in enumerate(chunk):
+                    acc = acc.add(
+                        _uint8_to_field_var(cs, byte_gadget).mul_by_constant(pow(256, i, p))
+                    )
+                sponge.absorb_elements([acc])
+            return
+        for v in value:
+            absorb_gadget(sponge, v)
+        return
+    raise TypeError(f"cannot absorb gadget {type(value).__name__}")
+
+
+def _boolean_to_field_var(cs, b):
+    """Boolean -> FieldVar via its LC (no new constraints)."""
+    from ..gadgets.field_var import FieldVar
+
+    return FieldVar(cs, b.lc(), int(b.value()))
+
+
+def poseidon2_hash_any_gadget(cs, *values):
+    """In-circuit twin of :func:`poseidon2_hash_any` (gadget == native by
+    shared-ops construction)."""
+    sponge = PoseidonSponge(ops=_GadgetOps(cs))
+    for v in values:
+        absorb_gadget(sponge, v)
+    return sponge.squeeze_elements(1)[0]

@@ -139,7 +139,16 @@ def setup(max_degree: int, rng) -> UniversalSRS:
         table.mul(gamma * pow(tau, i, P) % P) for i in range(NUM_GAMMA_POWERS)
     ]
     if native.available():
-        powers_native = native.g1_fixed_base_raw(g, scalars)
+        from ..ops import accel
+
+        if accel.use_device_fixed_base(len(scalars)):
+            from ..fields.frvec import FrVec
+            from ..ops.srs_device import fixed_base_powers_device
+
+            std = FrVec.from_ints(scalars).to_std_array()
+            powers_native = fixed_base_powers_device(g, std)
+        else:
+            powers_native = native.g1_fixed_base_raw(g, scalars)
         return UniversalSRS(h=h, beta_h=beta_h, powers_native=powers_native,
                             powers_of_gamma_g=gamma_powers)
     powers = [table.mul(s) for s in scalars]

@@ -26,6 +26,7 @@ from ..hash.blake2s import blake2s_digest
 from ..kzg import kzg10
 from ..kzg.kzg10 import Commitment, UniversalSRS
 from ..poly.dense import DensePoly
+from ..utils.observability import PROVER_TIMER, maybe_report_prover
 from ..utils.rng import test_rng
 from . import ahp
 from .fiat_shamir import FiatShamirRng
@@ -162,30 +163,36 @@ def prove(pk: IndexProverKey, cs, rng=None) -> MarlinProof:
     )
 
     zk_rands = tuple(Fr.rand(rng).value for _ in range(3))
-    r1 = ahp.prover_round1(idx, cs, zk_rands=zk_rands)
-    mask_poly = ahp.sample_mask_poly(info, rng)
+    with PROVER_TIMER.region("ahp.round1"):
+        r1 = ahp.prover_round1(idx, cs, zk_rands=zk_rands)
+        mask_poly = ahp.sample_mask_poly(info, rng)
     comms: dict[str, Commitment] = {}
     rands: dict[str, kzg10.Randomness] = {}
-    comms["w"], rands["w"] = kzg10.commit(srs, r1.w_poly, hiding_rng=rng)
-    comms["z_a"], rands["z_a"] = kzg10.commit(srs, r1.z_a_poly, hiding_rng=rng)
-    comms["z_b"], rands["z_b"] = kzg10.commit(srs, r1.z_b_poly, hiding_rng=rng)
-    comms["mask"], rands["mask"] = kzg10.commit(srs, mask_poly, hiding_rng=rng)
+    with PROVER_TIMER.region("kzg.commit.round1"):
+        comms["w"], rands["w"] = kzg10.commit(srs, r1.w_poly, hiding_rng=rng)
+        comms["z_a"], rands["z_a"] = kzg10.commit(srs, r1.z_a_poly, hiding_rng=rng)
+        comms["z_b"], rands["z_b"] = kzg10.commit(srs, r1.z_b_poly, hiding_rng=rng)
+        comms["mask"], rands["mask"] = kzg10.commit(srs, mask_poly, hiding_rng=rng)
     fs.absorb(b"".join(comms[n].serialize() for n in ["w", "z_a", "z_b", "mask"]))
     alpha = fs.squeeze_field_element()
     etas = fs.squeeze_field_elements(3)
 
-    r2 = ahp.prover_round2(idx, cs, r1, alpha, etas, mask_poly=mask_poly)
-    comms["t"] = kzg10.commit(srs, r2.t_poly)
-    comms["g_1"], rands["g_1"] = kzg10.commit(
-        srs, r2.g_1_poly, degree_bound=bounds["g_1"], hiding_rng=rng
-    )
-    comms["h_1"], rands["h_1"] = kzg10.commit(srs, r2.h_1_poly, hiding_rng=rng)
+    with PROVER_TIMER.region("ahp.round2"):
+        r2 = ahp.prover_round2(idx, cs, r1, alpha, etas, mask_poly=mask_poly)
+    with PROVER_TIMER.region("kzg.commit.round2"):
+        comms["t"] = kzg10.commit(srs, r2.t_poly)
+        comms["g_1"], rands["g_1"] = kzg10.commit(
+            srs, r2.g_1_poly, degree_bound=bounds["g_1"], hiding_rng=rng
+        )
+        comms["h_1"], rands["h_1"] = kzg10.commit(srs, r2.h_1_poly, hiding_rng=rng)
     fs.absorb(b"".join(comms[n].serialize() for n in ["t", "g_1", "h_1"]))
     beta = fs.squeeze_field_element()
 
-    r3 = ahp.prover_round3(idx, alpha, beta, etas)
-    comms["g_2"] = kzg10.commit(srs, r3.g_2_poly, degree_bound=bounds["g_2"])
-    comms["h_2"] = kzg10.commit(srs, r3.h_2_poly)
+    with PROVER_TIMER.region("ahp.round3"):
+        r3 = ahp.prover_round3(idx, alpha, beta, etas)
+    with PROVER_TIMER.region("kzg.commit.round3"):
+        comms["g_2"] = kzg10.commit(srs, r3.g_2_poly, degree_bound=bounds["g_2"])
+        comms["h_2"] = kzg10.commit(srs, r3.h_2_poly)
     fs.absorb(b"".join(comms[n].serialize() for n in ["g_2", "h_2"]))
     gamma = fs.squeeze_field_element()
 
@@ -201,10 +208,11 @@ def prove(pk: IndexProverKey, cs, rng=None) -> MarlinProof:
         polys[f"val_{name}"] = mat.val_poly
 
     evaluations: dict[str, int] = {}
-    for name in BETA_POLYS:
-        evaluations[name] = polys[name].evaluate(beta)
-    for name in GAMMA_POLYS:
-        evaluations[name] = polys[name].evaluate(gamma)
+    with PROVER_TIMER.region("evaluations"):
+        for name in BETA_POLYS:
+            evaluations[name] = polys[name].evaluate(beta)
+        for name in GAMMA_POLYS:
+            evaluations[name] = polys[name].evaluate(gamma)
     # sanity: the inner sumcheck claim is the opened t(β)
     ensure(evaluations["t"] == r3.sigma_2 % P, "inner sumcheck claim != opened t(β)")
 
@@ -221,8 +229,10 @@ def prove(pk: IndexProverKey, cs, rng=None) -> MarlinProof:
     ]
     beta_rands = [rands.get(n) for n in BETA_POLYS]
     gamma_rands = [rands.get(n) for n in GAMMA_POLYS]
-    pc_beta, rand_beta = kzg10.batch_open(srs, beta_batch, beta, xi, rands=beta_rands)
-    pc_gamma, rand_gamma = kzg10.batch_open(srs, gamma_batch, gamma, xi, rands=gamma_rands)
+    with PROVER_TIMER.region("kzg.batch_open"):
+        pc_beta, rand_beta = kzg10.batch_open(srs, beta_batch, beta, xi, rands=beta_rands)
+        pc_gamma, rand_gamma = kzg10.batch_open(srs, gamma_batch, gamma, xi, rands=gamma_rands)
+    maybe_report_prover("marlin.prove")
 
     return MarlinProof(
         commitments=comms,

@@ -181,10 +181,19 @@ def _points_from_native(arr: np.ndarray):
     return out
 
 
-def g1_msm(points, scalars: list[int], window_bits: int = 13):
+def _msm_window_bits(n: int) -> int:
+    """Pippenger window scaled to the input size (bucket running-sum cost
+    2^c must not dwarf the N point adds — c=13 for 300 points spent ~1 s
+    walking empty buckets)."""
+    return max(2, min(13, n.bit_length() - 2))
+
+
+def g1_msm(points, scalars: list[int], window_bits: int | None = None):
     """Pippenger MSM (native)."""
     lib = _require_lib()
     ctx = _ctx_for("fq")
+    if window_bits is None:
+        window_bits = _msm_window_bits(len(points))
     pts = _points_to_native(points)
     scs = ints_to_limbs64([int(s) for s in scalars], 4)
     out = np.zeros((1, 18), dtype="<u8")
@@ -217,11 +226,14 @@ def g1_fixed_base_raw(base, scalars: list[int]) -> np.ndarray:
     return out
 
 
-def g1_msm_raw(points_native: np.ndarray, scalars: list[int], window_bits: int = 13):
+def g1_msm_raw(points_native: np.ndarray, scalars: list[int],
+               window_bits: int | None = None):
     """Pippenger MSM over a preconverted native point array (no per-call
     point conversion — the SRS commit path)."""
     lib = _require_lib()
     ctx = _ctx_for("fq")
+    if window_bits is None:
+        window_bits = _msm_window_bits(points_native.shape[0])
     pts = np.ascontiguousarray(points_native, dtype="<u8")
     scs = ints_to_limbs64([int(s) for s in scalars], 4)
     out = np.zeros((1, 18), dtype="<u8")
@@ -507,11 +519,13 @@ def fr_ntt_arr(data_mont: np.ndarray, omega: int, scale: int | None = None) -> n
 
 
 def g1_msm_arr(points_native: np.ndarray, scalars_std: np.ndarray,
-               window_bits: int = 13):
+               window_bits: int | None = None):
     """Pippenger MSM over preconverted points [N, 18] and standard-form
     scalar limbs [N, 4] (no bigint conversion — the FrVec commit path)."""
     lib = _require_lib()
     ctx = _ctx_for("fq")
+    if window_bits is None:
+        window_bits = _msm_window_bits(points_native.shape[0])
     pts = np.ascontiguousarray(points_native, dtype="<u8")
     scs = np.ascontiguousarray(scalars_std, dtype="<u8")
     out = np.zeros((1, 18), dtype="<u8")

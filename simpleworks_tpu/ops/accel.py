@@ -105,6 +105,18 @@ def use_device_msm(n: int) -> bool:
     return _forced() or link_bandwidth_mbps() >= MSM_MIN_LINK_MBPS
 
 
+FIXED_BASE_THRESHOLD = int(os.environ.get("SWTPU_FIXED_BASE_THRESHOLD", 1 << 16))
+FIXED_BASE_MIN_LINK_MBPS = float(os.environ.get("SWTPU_FIXED_BASE_MIN_MBPS", 5.0))
+
+
+def use_device_fixed_base(n: int) -> bool:
+    """SRS powers-of-tau generation: ~250 B/point of link traffic buys
+    ~58 µs/point of host compute — wins from ~5 MB/s of bandwidth."""
+    if not device_available() or n < FIXED_BASE_THRESHOLD:
+        return False
+    return _forced() or link_bandwidth_mbps() >= FIXED_BASE_MIN_LINK_MBPS
+
+
 _CACHE_ENABLED = False
 
 

@@ -63,3 +63,29 @@ class KernelTimer:
 
 
 GLOBAL_TIMER = KernelTimer()
+
+
+#: process-global prover timer — every ``marlin.prove`` populates it;
+#: ``SWTPU_TRACE=1`` also prints the per-phase report to stderr
+PROVER_TIMER = KernelTimer()
+
+
+def maybe_report_prover(label: str) -> None:
+    import os
+    import sys
+
+    if os.environ.get("SWTPU_TRACE"):
+        print(f"[trace] {label}\n{PROVER_TIMER.report()}", file=sys.stderr, flush=True)
+
+
+@contextmanager
+def device_trace(log_dir: str):
+    """JAX profiler trace around a region (kernel-level timeline for
+    xprof/tensorboard) — the device-level complement to KernelTimer."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -204,3 +204,34 @@ def test_pedersen_gadget_equals_native():
     out = pedersen_evaluate_gadget(cs, params, byte_gadgets)
     assert out.value() == native
     assert cs.is_satisfied()
+
+
+def test_poseidon_general_absorb_surface():
+    """ark-sponge Absorb/AbsorbGadget parity: field elements, points,
+    bytes, and mixed lists absorb natively AND in-circuit with equal
+    digests (reference src/gadgets/poseidon.rs absorbs any AbsorbGadget)."""
+    from simpleworks_tpu.curves.edwards import GENERATOR
+    from simpleworks_tpu.fields.bls12_377 import ConstraintF
+    from simpleworks_tpu.gadgets.field_var import FieldVar
+    from simpleworks_tpu.gadgets.uint import UIntGadget
+    from simpleworks_tpu.hash.poseidon import (
+        poseidon2_hash,
+        poseidon2_hash_any,
+        poseidon2_hash_any_gadget,
+    )
+    from simpleworks_tpu.r1cs.constraint_system import ConstraintSystem
+
+    pt = GENERATOR.scalar_mul(5)
+    d_mixed = poseidon2_hash_any(42, pt, b"abc", [1, 2])
+    assert 0 < d_mixed < ConstraintF.PARAMS.modulus
+    # bytes-only case agrees with the original surface
+    assert poseidon2_hash_any(b"\x01\x02\x03") == poseidon2_hash(b"\x01\x02\x03")
+
+    # gadget twin: field elements + a byte vector == native
+    cs = ConstraintSystem(ConstraintF)
+    fv = FieldVar.new_witness(cs, 42)
+    byte_gadgets = [UIntGadget.new_witness(cs, 8, b) for b in b"abc"]
+    gadget_digest = poseidon2_hash_any_gadget(cs, fv, byte_gadgets)
+    native_digest = poseidon2_hash_any(42, b"abc")
+    assert gadget_digest.value() == native_digest
+    assert cs.is_satisfied()

@@ -82,3 +82,21 @@ def test_msm_device_offset():
     scalars = [i + 1 for i in range(8)]
     got = msm_pippenger.msm_device(lm, scalars_to_std(scalars), c=8, offset=4)
     assert got == msm(pts[4:12], scalars)
+
+
+def test_fixed_base_powers_device_matches_native():
+    """Device SRS generation (ops/srs_device) vs the native fixed-base
+    table — bit-identical [N, 18] arrays."""
+    from simpleworks_tpu import native
+    from simpleworks_tpu.ops.srs_device import fixed_base_powers_device
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+    g = G1Point.generator()
+    scalars = [int.from_bytes(rng.bytes(33), "little") % FR_MODULUS for _ in range(37)]
+    scalars[0] = 0
+    scalars[1] = 1
+    std = FrVec.from_ints(scalars).to_std_array()
+    got = fixed_base_powers_device(g, std)
+    expected = native.g1_fixed_base_raw(g, scalars)
+    assert np.array_equal(np.asarray(got), expected)
