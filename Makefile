@@ -1,5 +1,5 @@
 CXX ?= g++
-CXXFLAGS ?= -O3 -fPIC -shared -std=c++17 -march=native
+CXXFLAGS ?= -O3 -fPIC -shared -std=c++17 -march=native -pthread
 
 native: simpleworks_tpu/native/libswtpu_native.so
 

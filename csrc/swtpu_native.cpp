@@ -13,7 +13,41 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <thread>
 #include <vector>
+
+// Simple fork-join over [0, n): deterministic partitioning, no pool state.
+// Thread count from SWTPU_THREADS (default: hardware concurrency, max 8).
+static int worker_count() {
+    static int n = [] {
+        if (const char* env = std::getenv("SWTPU_THREADS")) {
+            int v = std::atoi(env);
+            if (v >= 1) return v;
+        }
+        unsigned hc = std::thread::hardware_concurrency();
+        return (int)(hc == 0 ? 1 : (hc > 8 ? 8 : hc));
+    }();
+    return n;
+}
+
+template <typename F>
+static void parallel_for(size_t n, size_t grain, F&& body) {
+    int workers = worker_count();
+    if (workers <= 1 || n < 2 * grain) {
+        body((size_t)0, n);
+        return;
+    }
+    size_t chunks = (n + grain - 1) / grain;
+    if ((size_t)workers > chunks) workers = (int)chunks;
+    std::vector<std::thread> ts;
+    size_t per = n / workers, extra = n % workers, lo = 0;
+    for (int w = 0; w < workers; ++w) {
+        size_t hi = lo + per + (w < (int)extra ? 1 : 0);
+        ts.emplace_back([&body, lo, hi] { body(lo, hi); });
+        lo = hi;
+    }
+    for (auto& t : ts) t.join();
+}
 
 typedef unsigned __int128 u128;
 
@@ -122,8 +156,10 @@ static inline bool fp_is_zero(const FpCtx* c, const uint64_t* a) {
 
 void swtpu_fp_mul_batch(const FpCtx* c, const uint64_t* a, const uint64_t* b,
                         uint64_t* out, size_t count) {
-    for (size_t i = 0; i < count; ++i)
-        fp_mul(c, a + i * c->n, b + i * c->n, out + i * c->n);
+    parallel_for(count, 4096, [&](size_t lo, size_t hi) {
+        for (size_t i = lo; i < hi; ++i)
+            fp_mul(c, a + i * c->n, b + i * c->n, out + i * c->n);
+    });
 }
 
 void swtpu_fp_add_batch(const FpCtx* c, const uint64_t* a, const uint64_t* b,
@@ -197,8 +233,13 @@ void swtpu_ntt(const FpCtx* c, uint64_t* data, size_t n, const uint64_t* stage_t
     const uint64_t* tw = stage_twiddles;
     for (size_t len = 2; len <= n; len <<= 1) {
         size_t half = len >> 1;
-        for (size_t start = 0; start < n; start += len) {
-            for (size_t j = 0; j < half; ++j) {
+        size_t blocks = n / len;
+        // flatten (block, j) into one index space so both the many-small-
+        // blocks stages and the few-large-blocks stages parallelize
+        parallel_for(blocks * half, 8192, [&](size_t wlo, size_t whi) {
+            for (size_t w = wlo; w < whi; ++w) {
+                size_t start = (w / half) * len;
+                size_t j = w % half;
                 uint64_t* lo = data + (start + j) * L;
                 uint64_t* hi = data + (start + j + half) * L;
                 uint64_t t[6], u[6];
@@ -207,7 +248,7 @@ void swtpu_ntt(const FpCtx* c, uint64_t* data, size_t n, const uint64_t* stage_t
                 fp_add(c, u, t, lo);
                 fp_sub(c, u, t, hi);
             }
-        }
+        });
         tw += half * L;
     }
 }
@@ -314,36 +355,43 @@ void swtpu_g1_msm(const FpCtx* c, const G1* points, const uint64_t* scalars,
     const int scalar_bits = 256;
     const int num_windows = (scalar_bits + window_bits - 1) / window_bits;
     const size_t num_buckets = ((size_t)1 << window_bits) - 1;
-    std::vector<G1> buckets(num_buckets);
-    std::vector<char> used(num_buckets);
+    // windows are independent: accumulate them in parallel, then fold
+    std::vector<G1> window_sums(num_windows);
+    parallel_for((size_t)num_windows, 1, [&](size_t wlo, size_t whi) {
+        std::vector<G1> buckets(num_buckets);
+        std::vector<char> used(num_buckets);
+        for (size_t w = wlo; w < whi; ++w) {
+            std::fill(used.begin(), used.end(), 0);
+            int bit_off = (int)w * window_bits;
+            for (size_t i = 0; i < count; ++i) {
+                // extract window digit from 4x64-bit scalar
+                uint64_t digit = 0;
+                for (int b = 0; b < window_bits; ++b) {
+                    int bit = bit_off + b;
+                    if (bit >= 256) break;
+                    uint64_t v = (scalars[i * 4 + bit / 64] >> (bit % 64)) & 1;
+                    digit |= v << b;
+                }
+                if (!digit) continue;
+                size_t idx = digit - 1;
+                if (!used[idx]) { buckets[idx] = points[i]; used[idx] = 1; }
+                else g1_add(c, &buckets[idx], &points[i], &buckets[idx]);
+            }
+            G1 running, acc;
+            g1_set_identity(c, &running);
+            g1_set_identity(c, &acc);
+            for (size_t b = num_buckets; b-- > 0;) {
+                if (used[b]) g1_add(c, &running, &buckets[b], &running);
+                g1_add(c, &acc, &running, &acc);
+            }
+            window_sums[w] = acc;
+        }
+    });
     G1 total;
     g1_set_identity(c, &total);
     for (int w = num_windows - 1; w >= 0; --w) {
         for (int d = 0; d < window_bits; ++d) g1_double(c, &total, &total);
-        std::fill(used.begin(), used.end(), 0);
-        int bit_off = w * window_bits;
-        for (size_t i = 0; i < count; ++i) {
-            // extract window digit from 4x64-bit scalar
-            uint64_t digit = 0;
-            for (int b = 0; b < window_bits; ++b) {
-                int bit = bit_off + b;
-                if (bit >= 256) break;
-                uint64_t v = (scalars[i * 4 + bit / 64] >> (bit % 64)) & 1;
-                digit |= v << b;
-            }
-            if (!digit) continue;
-            size_t idx = digit - 1;
-            if (!used[idx]) { buckets[idx] = points[i]; used[idx] = 1; }
-            else g1_add(c, &buckets[idx], &points[i], &buckets[idx]);
-        }
-        G1 running, acc;
-        g1_set_identity(c, &running);
-        g1_set_identity(c, &acc);
-        for (size_t b = num_buckets; b-- > 0;) {
-            if (used[b]) g1_add(c, &running, &buckets[b], &running);
-            g1_add(c, &acc, &running, &acc);
-        }
-        g1_add(c, &total, &acc, &total);
+        g1_add(c, &total, &window_sums[w], &total);
     }
     *out = total;
 }
@@ -364,15 +412,17 @@ void swtpu_g1_fixed_base(const FpCtx* c, const G1* base, const uint64_t* scalars
         }
         cur = acc;  // acc ended at 256·cur — the next window's base
     }
-    for (size_t i = 0; i < count; ++i) {
-        G1 acc;
-        g1_set_identity(c, &acc);
-        for (int w = 0; w < num_windows; ++w) {
-            uint64_t digit = (scalars[i * 4 + (w * 8) / 64] >> ((w * 8) % 64)) & 0xFF;
-            if (digit) g1_add(c, &acc, &table[w * tsize + digit - 1], &acc);
+    parallel_for(count, 256, [&](size_t lo, size_t hi) {
+        for (size_t i = lo; i < hi; ++i) {
+            G1 acc;
+            g1_set_identity(c, &acc);
+            for (int w = 0; w < num_windows; ++w) {
+                uint64_t digit = (scalars[i * 4 + (w * 8) / 64] >> ((w * 8) % 64)) & 0xFF;
+                if (digit) g1_add(c, &acc, &table[w * tsize + digit - 1], &acc);
+            }
+            out[i] = acc;
         }
-        out[i] = acc;
-    }
+    });
 }
 
 }  // extern "C"
