@@ -164,25 +164,33 @@ void swtpu_fp_mul_batch(const FpCtx* c, const uint64_t* a, const uint64_t* b,
 
 void swtpu_fp_add_batch(const FpCtx* c, const uint64_t* a, const uint64_t* b,
                         uint64_t* out, size_t count) {
-    for (size_t i = 0; i < count; ++i)
-        fp_add(c, a + i * c->n, b + i * c->n, out + i * c->n);
+    parallel_for(count, 16384, [&](size_t lo, size_t hi) {
+        for (size_t i = lo; i < hi; ++i)
+            fp_add(c, a + i * c->n, b + i * c->n, out + i * c->n);
+    });
 }
 
 void swtpu_fp_sub_batch(const FpCtx* c, const uint64_t* a, const uint64_t* b,
                         uint64_t* out, size_t count) {
-    for (size_t i = 0; i < count; ++i)
-        fp_sub(c, a + i * c->n, b + i * c->n, out + i * c->n);
+    parallel_for(count, 16384, [&](size_t lo, size_t hi) {
+        for (size_t i = lo; i < hi; ++i)
+            fp_sub(c, a + i * c->n, b + i * c->n, out + i * c->n);
+    });
 }
 
 void swtpu_fp_to_mont(const FpCtx* c, const uint64_t* a, uint64_t* out, size_t count) {
-    for (size_t i = 0; i < count; ++i)
-        fp_mul(c, a + i * c->n, c->r2, out + i * c->n);
+    parallel_for(count, 4096, [&](size_t lo, size_t hi) {
+        for (size_t i = lo; i < hi; ++i)
+            fp_mul(c, a + i * c->n, c->r2, out + i * c->n);
+    });
 }
 
 void swtpu_fp_from_mont(const FpCtx* c, const uint64_t* a, uint64_t* out, size_t count) {
     uint64_t one[6] = {1, 0, 0, 0, 0, 0};
-    for (size_t i = 0; i < count; ++i)
-        fp_mul(c, a + i * c->n, one, out + i * c->n);
+    parallel_for(count, 4096, [&](size_t lo, size_t hi) {
+        for (size_t i = lo; i < hi; ++i)
+            fp_mul(c, a + i * c->n, one, out + i * c->n);
+    });
 }
 
 static void fp_pow(const FpCtx* c, const uint64_t* base, const uint64_t* e, int e_limbs,
@@ -434,11 +442,13 @@ extern "C" {
 // acc += scalar * poly  (all Montgomery form), elementwise over count limbs-vectors
 void swtpu_fp_axpy(const FpCtx* c, uint64_t* acc, const uint64_t* poly,
                    const uint64_t* scalar_mont, size_t count) {
-    uint64_t tmp[6];
-    for (size_t i = 0; i < count; ++i) {
-        fp_mul(c, poly + i * c->n, scalar_mont, tmp);
-        fp_add(c, acc + i * c->n, tmp, acc + i * c->n);
-    }
+    parallel_for(count, 8192, [&](size_t lo, size_t hi) {
+        uint64_t tmp[6];
+        for (size_t i = lo; i < hi; ++i) {
+            fp_mul(c, poly + i * c->n, scalar_mont, tmp);
+            fp_add(c, acc + i * c->n, tmp, acc + i * c->n);
+        }
+    });
 }
 
 // Horner evaluation: out = sum coeffs[i] * z^i  (Montgomery form in/out)
@@ -502,8 +512,10 @@ void swtpu_fp_spmv(const FpCtx* c, size_t n_terms, const uint32_t* rows,
 // out[i] = scalar - a[i]  (Montgomery form) — the (α − h^i) builder.
 void swtpu_fp_scalar_sub_vec(const FpCtx* c, const uint64_t* scalar,
                              const uint64_t* a, uint64_t* out, size_t count) {
-    for (size_t i = 0; i < count; ++i)
-        fp_sub(c, scalar, a + i * c->n, out + i * c->n);
+    parallel_for(count, 16384, [&](size_t lo, size_t hi) {
+        for (size_t i = lo; i < hi; ++i)
+            fp_sub(c, scalar, a + i * c->n, out + i * c->n);
+    });
 }
 
 // Synthetic division by (X − z): quotient[count-2..0], remainder (Montgomery).
@@ -526,11 +538,13 @@ void swtpu_fp_div_linear(const FpCtx* c, const uint64_t* coeffs, size_t count,
 // out[i] = a[i] * b[i] + d[i]  (fused elementwise multiply-add, Montgomery).
 void swtpu_fp_mul_add_batch(const FpCtx* c, const uint64_t* a, const uint64_t* b,
                             const uint64_t* d, uint64_t* out, size_t count) {
-    uint64_t tmp[6];
-    for (size_t i = 0; i < count; ++i) {
-        fp_mul(c, a + i * c->n, b + i * c->n, tmp);
-        fp_add(c, tmp, d + i * c->n, out + i * c->n);
-    }
+    parallel_for(count, 8192, [&](size_t lo, size_t hi) {
+        uint64_t tmp[6];
+        for (size_t i = lo; i < hi; ++i) {
+            fp_mul(c, a + i * c->n, b + i * c->n, tmp);
+            fp_add(c, tmp, d + i * c->n, out + i * c->n);
+        }
+    });
 }
 
 }  // extern "C"
