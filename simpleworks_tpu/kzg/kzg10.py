@@ -117,6 +117,16 @@ class Commitment:
         return out
 
 
+#: transparent SRS memo: ``setup`` is deterministic given (max_degree, τ, γ),
+#: and the reference's workloads regenerate the *same* SRS constantly — e.g.
+#: simple-payments samples a fresh SRS from a fresh ``test_rng`` per
+#: transaction (reference examples/simple-payments/transaction.rs:96).  The
+#: rng is always advanced identically (τ, γ are drawn before the lookup), so
+#: caching the heavy powers-of-tau computation is unobservable.
+_SRS_MEMO: dict[tuple[int, int, int], UniversalSRS] = {}
+_SRS_MEMO_MAX = 2
+
+
 def setup(max_degree: int, rng) -> UniversalSRS:
     """Sample τ, γ and build the powers tables (fixed-base windowed muls).
 
@@ -124,6 +134,18 @@ def setup(max_degree: int, rng) -> UniversalSRS:
     random group elements here; semantics identical, vectors differ)."""
     tau = Fr.rand(rng).value
     gamma = Fr.rand(rng).value
+    memo_key = (max_degree, tau, gamma)
+    cached = _SRS_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
+    srs = _setup_uncached(max_degree, tau, gamma)
+    if len(_SRS_MEMO) >= _SRS_MEMO_MAX:
+        _SRS_MEMO.pop(next(iter(_SRS_MEMO)))
+    _SRS_MEMO[memo_key] = srs
+    return srs
+
+
+def _setup_uncached(max_degree: int, tau: int, gamma: int) -> UniversalSRS:
     g = G1Point.generator()
     scalars = []
     cur = 1

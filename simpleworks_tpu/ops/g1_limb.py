@@ -54,33 +54,37 @@ class FqLimb:
         else:
             self._use_pallas = jax.default_backend() == "tpu"
 
-    def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        import math
+    def _pad_batch(self, *arrays: jnp.ndarray):
+        """Zero-pad [L, B] operands up to a tile multiple (Pallas block shapes
+        must tile the array exactly; zero lanes are benign for mod-p ops and
+        are sliced off by the caller).  Returns (padded..., original B)."""
+        B = arrays[0].shape[1]
+        pad = -B % self._tile
+        if pad == 0:
+            return (*arrays, B)
+        return (*(jnp.pad(a, ((0, 0), (0, pad))) for a in arrays), B)
 
-        B = a.shape[1]
+    def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         if not self._use_pallas:
             from ..curves.g1_device import fq_device_field
 
             df = fq_device_field()
             return jnp.moveaxis(df.mul(jnp.moveaxis(a, 0, -1), jnp.moveaxis(b, 0, -1)), -1, 0)
-        tile = math.gcd(self._tile, B)  # exact grid cover — no dropped lanes
-        mul = self._muls.get(tile)
+        a, b, B = self._pad_batch(a, b)
+        mul = self._muls.get(self._tile)
         if mul is None:
-            mul = make_mont_mul(Fq.PARAMS, tile=tile)
-            self._muls[tile] = mul
-        return mul(a, b)
+            mul = make_mont_mul(Fq.PARAMS, tile=self._tile)
+            self._muls[self._tile] = mul
+        return mul(a, b)[:, :B]
 
-    def _addsub(self, B: int):
-        """Pallas (add, sub) kernels for this batch width (TPU path)."""
-        import math
-
+    def _addsub(self):
+        """Pallas (add, sub) kernels (TPU path; operands pre-padded)."""
         from .mont_mul_pallas import make_mod_addsub
 
-        tile = math.gcd(self._tile, B)
-        ops = self._addsubs.get(tile)
+        ops = self._addsubs.get(self._tile)
         if ops is None:
-            ops = make_mod_addsub(Fq.PARAMS, tile=tile)
-            self._addsubs[tile] = ops
+            ops = make_mod_addsub(Fq.PARAMS, tile=self._tile)
+            self._addsubs[self._tile] = ops
         return ops
 
     # -- XLA glue for the CPU fallback (lax.scan keeps the graph small) ------
@@ -111,12 +115,14 @@ class FqLimb:
 
     def add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         if self._use_pallas:
-            return self._addsub(a.shape[1])[0](a, b)
+            a, b, B = self._pad_batch(a, b)
+            return self._addsub()[0](a, b)[:, :B]
         return self._cond_sub_p(self._normalize(a + b))
 
     def sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         if self._use_pallas:
-            return self._addsub(a.shape[1])[1](a, b)
+            a, b, B = self._pad_batch(a, b)
+            return self._addsub()[1](a, b)[:, :B]
         diff, borrow = self._sub_borrow(a, b)
         plus_p = self._normalize(diff + jnp.asarray(self.p_np))
         return jnp.where((borrow == 1)[None, :], plus_p, diff)

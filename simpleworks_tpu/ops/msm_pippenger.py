@@ -228,22 +228,146 @@ def _make_accumulate(n_points: int, depth: int, w_count: int, segs: int, b: int)
     return jax.jit(run)
 
 
+# ------------------------------------------- device-built schedule ----------
+#
+# The [D, lanes] gather grids are ~20x larger than the digits they encode
+# (int32 idx + bool valid vs one byte per (window, point)); on link-limited
+# hosts (the axon tunnel moves ~40 MB/s) shipping grids dominates the MSM
+# end-to-end time.  This path uploads only the u8 digit matrix and builds
+# the same grids on device: per-window argsort groups points by digit,
+# searchsorted yields bucket starts/counts, and the grid is pure gather
+# arithmetic (no scatter — TPU-friendly).  Bit-exact with the host path.
+
+
+def window_counts(digits: np.ndarray, b: int) -> np.ndarray:
+    """[W, N] digits -> [W, b] bucket counts (cheap host bincount)."""
+    w_count = digits.shape[0]
+    out = np.zeros((w_count, b), dtype=np.int64)
+    for w in range(w_count):
+        out[w] = np.bincount(digits[w], minlength=b)
+    return out
+
+
+def build_schedule_meta(digits: np.ndarray, c: int):
+    """Grouping/shape decisions only (the data-dependent part the host must
+    know for static shapes): -> [(window_ids, segs, b_g, depth)], same
+    policy as :func:`build_schedule` but from bincounts — no argsort, no
+    grid materialization."""
+    b = 1 << c
+    counts = window_counts(digits, b)
+    w_count = digits.shape[0]
+    per_window = []
+    for w in range(w_count):
+        nz = counts[w, 1:]  # digit 0 contributes nothing
+        d_w = int(nz.max()) if nz.size else 0
+        live = np.nonzero(counts[w])[0]
+        max_digit = int(live.max()) if live.size else 1
+        per_window.append((w, d_w, max_digit))
+
+    per_window.sort(key=lambda t: t[1])
+    groups: list[list[tuple]] = []
+    for entry in per_window:
+        if groups and entry[1] <= max(2 * max(groups[-1][0][1], 8), 64):
+            groups[-1].append(entry)
+        else:
+            groups.append([entry])
+
+    out = []
+    for group in groups:
+        raw_depth = max(max(e[1] for e in group), 1)
+        g = len(group)
+        max_digit = max(max(e[2], 1) for e in group)
+        b_g = 1
+        while b_g <= max_digit:
+            b_g <<= 1
+        b_g = max(b_g, 2)
+        segs = 1
+        while g * b_g * segs < _TARGET_LANES and segs * 2 <= raw_depth:
+            segs <<= 1
+        depth = _round_up_depth((raw_depth + segs - 1) // segs)
+        out.append(([e[0] for e in group], segs, b_g, depth))
+    return out
+
+
+def device_grid_from_digits(digits_g: jnp.ndarray, n: int, depth: int,
+                            segs: int, b: int, offset: int):
+    """[g, N] int32 digits -> (idx [D, g·S·B] int32, valid [D, g·S·B] bool),
+    the exact layout :func:`build_schedule` produces (modulo within-bucket
+    point order, which point addition doesn't observe)."""
+    g = digits_g.shape[0]
+    order = jnp.argsort(digits_g, axis=1)  # [g, N] points grouped by digit
+    sorted_d = jnp.take_along_axis(digits_g, order, axis=1)
+    targets = jnp.arange(b + 1, dtype=digits_g.dtype)
+    starts = jax.vmap(lambda sd: jnp.searchsorted(sd, targets))(sorted_d)  # [g, b+1]
+    counts = starts[:, 1:] - starts[:, :-1]  # [g, b]
+
+    row = jnp.arange(depth, dtype=jnp.int32).reshape(1, depth, 1, 1)
+    seg = jnp.arange(segs, dtype=jnp.int32).reshape(1, 1, segs, 1)
+    dig = jnp.arange(b, dtype=jnp.int32).reshape(1, 1, 1, b)
+    k = seg * depth + row  # rank within the bucket               [1, D, S, B]
+    pos = starts[:, :-1].astype(jnp.int32).reshape(g, 1, 1, b) + k  # [g, D, S, B]
+    valid = (k < counts.astype(jnp.int32).reshape(g, 1, 1, b)) & (dig > 0)
+    pos = jnp.clip(pos, 0, n - 1)
+    idx = jax.vmap(jnp.take)(order.astype(jnp.int32), pos.reshape(g, -1))
+    idx = idx.reshape(g, depth, segs, b) + jnp.int32(offset)
+    # [g, D, S, B] -> [D, g, S, B] -> [D, g·S·B] (the scan layout)
+    idx = jnp.moveaxis(idx, 0, 1).reshape(depth, g * segs * b)
+    valid = jnp.moveaxis(valid, 0, 1).reshape(depth, g * segs * b)
+    return idx, valid
+
+
+@lru_cache(maxsize=16)
+def _make_accumulate_digits(n_points: int, n_scalars: int, depth: int,
+                            w_count: int, segs: int, b: int, offset: int):
+    """Jitted: (XYZ, [g, N] digits) -> window sums, grid built on device."""
+
+    def run(XYZ, digits_g):
+        idx, valid = device_grid_from_digits(
+            digits_g.astype(jnp.int32), n_scalars, depth, segs, b, offset
+        )
+        return accumulate_windows(XYZ, idx, valid, w_count, segs, b)
+
+    return jax.jit(run)
+
+
 def msm_device(points_lm, scalars_std: np.ndarray, c: int = 8,
-               offset: int = 0) -> G1Point:
+               offset: int = 0, schedule: str | None = None) -> G1Point:
     """MSM of ``scalars_std`` ([N, 4] u64 standard form) against points
-    ``offset..offset+N`` of the ([24, M],)*3 limb-major device array."""
+    ``offset..offset+N`` of the ([24, M],)*3 limb-major device array.
+
+    ``schedule``: ``"device"`` (default) uploads only the u8 digit matrix
+    (~c·N/8 bytes/point) and builds the gather grids on device;
+    ``"host"`` ships pre-built int32 grids (the original path, kept as the
+    bit-exactness oracle).  Env override: ``SWTPU_MSM_SCHEDULE``.
+    """
+    import os
+
     n = scalars_std.shape[0]
     if n == 0:
         return G1Point.identity()
+    if schedule is None:
+        schedule = os.environ.get("SWTPU_MSM_SCHEDULE", "device")
     w_count = (SCALAR_BITS + c - 1) // c
-    groups = build_schedule(scalars_std, c, offset=offset)
     XYZ = points_lm if not isinstance(points_lm, tuple) else jnp.stack(points_lm)
     window_points = [G1Point.identity()] * w_count
-    for window_ids, segs, b_g, idx, valid in groups:
-        fn = _make_accumulate(XYZ.shape[2], idx.shape[0], len(window_ids), segs, b_g)
-        wins = fn(XYZ, jnp.asarray(idx), jnp.asarray(valid))
-        for w, pt in zip(window_ids, g1_limb.points_from_limb_major(wins)):
-            window_points[w] = pt
+    if schedule == "device":
+        digits = window_digits(scalars_std, c)
+        d_small = digits.astype(np.uint8 if c <= 8 else np.uint16)
+        for window_ids, segs, b_g, depth in build_schedule_meta(digits, c):
+            fn = _make_accumulate_digits(
+                XYZ.shape[2], n, depth, len(window_ids), segs, b_g, offset
+            )
+            wins = fn(XYZ, jnp.asarray(d_small[window_ids]))
+            for w, pt in zip(window_ids, g1_limb.points_from_limb_major(wins)):
+                window_points[w] = pt
+    else:
+        for window_ids, segs, b_g, idx, valid in build_schedule(
+            scalars_std, c, offset=offset
+        ):
+            fn = _make_accumulate(XYZ.shape[2], idx.shape[0], len(window_ids), segs, b_g)
+            wins = fn(XYZ, jnp.asarray(idx), jnp.asarray(valid))
+            for w, pt in zip(window_ids, g1_limb.points_from_limb_major(wins)):
+                window_points[w] = pt
     total = G1Point.identity()
     for wp in reversed(window_points):
         for _ in range(c):

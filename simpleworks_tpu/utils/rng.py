@@ -244,3 +244,7 @@ def test_rng() -> ChaChaRng:
     """Replica of ``ark_std::test_rng()`` — the fixed-seed StdRng used for
     every sampling operation in the reference (SRS, CRH params, keygen)."""
     return chacha12_rng(ARK_TEST_RNG_SEED)
+
+
+# keep pytest from collecting the imported name as a test function
+test_rng.__test__ = False  # type: ignore[attr-defined]

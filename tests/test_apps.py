@@ -195,6 +195,40 @@ def test_proof_pipeline():
     cs0 = manual_constraints.synthesize(3, 3)
     pk, vk = marlin.index(srs, cs0)
     fns = [lambda v=v: manual_constraints.synthesize(v, v) for v in (3, 5, 8)]
-    proofs = prove_stream(pk, fns, max_workers=2)
+    proofs, stats = prove_stream(pk, fns, with_stats=True)
     for v, proof in zip((3, 5, 8), proofs):
         assert marlin.verify(vk, [v], proof)
+    # the stats must account for every item and both stages
+    assert stats.items == 3
+    assert stats.synth_busy_seconds > 0 and stats.prove_busy_seconds > 0
+
+
+def test_proof_pipeline_matches_serial():
+    """Pipelined proofs are byte-identical to serial ones (same per-proof
+    deterministic zk rng)."""
+    from simpleworks_tpu.examples import manual_constraints
+    from simpleworks_tpu.marlin.serialization import serialize_proof
+    from simpleworks_tpu.parallel.proof_pipeline import prove_stream
+    from simpleworks_tpu.utils.rng import test_rng
+
+    srs = marlin.universal_setup(100, 25, 300, marlin.generate_rand())
+    cs0 = manual_constraints.synthesize(3, 3)
+    pk, _vk = marlin.index(srs, cs0)
+    values = (3, 7)
+    serial = [
+        serialize_proof(marlin.prove(pk, manual_constraints.synthesize(v, v), test_rng()))
+        for v in values
+    ]
+    fns = [lambda v=v: manual_constraints.synthesize(v, v) for v in values]
+    piped = prove_stream(pk, fns, rng_factory=test_rng)
+    assert [serialize_proof(p) for p in piped] == serial
+
+
+def test_proof_pipeline_propagates_errors():
+    from simpleworks_tpu.parallel.proof_pipeline import run_pipeline
+
+    def boom(_):
+        raise RuntimeError("stage failed")
+
+    with pytest.raises(RuntimeError, match="stage failed"):
+        run_pipeline([1, 2, 3], [("ok", lambda x: x), ("boom", boom)])

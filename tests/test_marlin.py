@@ -114,3 +114,22 @@ def test_marlin_rejects_tampered_mask(srs):
     proof = marlin.prove(pk, cs)
     proof.evaluations["mask"] = (proof.evaluations["mask"] + 1) % marlin.P
     assert not marlin.verify(vk, [8], proof)
+
+
+def test_srs_memo_is_transparent():
+    """setup() memoizes on the drawn (max_degree, tau, gamma): the rng is
+    advanced identically on hit and miss, and identical rng states yield
+    the identical SRS object without recomputing the powers table."""
+    from simpleworks_tpu.kzg import kzg10
+    from simpleworks_tpu.utils.rng import test_rng
+
+    r1, r2 = test_rng(), test_rng()
+    s1 = kzg10.setup(50, r1)
+    s2 = kzg10.setup(50, r2)
+    assert s1 is s2  # cache hit
+    assert r1.next_u64() == r2.next_u64()  # streams advanced identically
+    # a different rng state gives a different tau -> distinct SRS
+    r3 = test_rng()
+    r3.next_u64()
+    s3 = kzg10.setup(50, r3)
+    assert s3 is not s1

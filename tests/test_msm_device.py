@@ -65,23 +65,51 @@ def test_limb_major_add_edge_cases():
         assert got == a.add(b), (a, b)
 
 
+@pytest.mark.parametrize("schedule", ["device", "host"])
 @pytest.mark.parametrize("n,c", [(33, 8), (64, 6)])
-def test_msm_device_matches_host(n, c):
+def test_msm_device_matches_host(n, c, schedule):
     pts = make_points(n)
     scalars = [int.from_bytes(rng.bytes(33), "little") % FR_MODULUS for _ in range(n)]
     scalars[0] = 0          # zero scalar skipped
     scalars[-1] = 1         # unit scalar
     lm = g1_limb.points_to_limb_major(pts)
-    got = msm_pippenger.msm_device(lm, scalars_to_std(scalars), c=c)
+    got = msm_pippenger.msm_device(lm, scalars_to_std(scalars), c=c, schedule=schedule)
     assert got == msm(pts, scalars)
 
 
-def test_msm_device_offset():
+@pytest.mark.parametrize("schedule", ["device", "host"])
+def test_msm_device_offset(schedule):
     pts = make_points(12)
     lm = g1_limb.points_to_limb_major(pts)
     scalars = [i + 1 for i in range(8)]
-    got = msm_pippenger.msm_device(lm, scalars_to_std(scalars), c=8, offset=4)
+    got = msm_pippenger.msm_device(
+        lm, scalars_to_std(scalars), c=8, offset=4, schedule=schedule
+    )
     assert got == msm(pts[4:12], scalars)
+
+
+def test_device_schedule_grid_covers_host_grid():
+    """The device-built grid must place every (window, nonzero-digit) point
+    exactly once; compare bucket memberships (order-free) vs the host
+    scheduler on an awkward size."""
+    import jax.numpy as jnp
+
+    n, c = 21, 8
+    scalars = [int.from_bytes(rng.bytes(33), "little") % FR_MODULUS for _ in range(n)]
+    std = scalars_to_std(scalars)
+    digits = msm_pippenger.window_digits(std, c)
+    d_small = digits.astype(np.uint8)
+    for window_ids, segs, b_g, depth in msm_pippenger.build_schedule_meta(digits, c):
+        idx, valid = msm_pippenger.device_grid_from_digits(
+            jnp.asarray(d_small[window_ids]).astype(jnp.int32), n, depth, segs, b_g, 0
+        )
+        idx = np.asarray(idx).reshape(depth, len(window_ids), segs, b_g)
+        valid = np.asarray(valid).reshape(depth, len(window_ids), segs, b_g)
+        for slot, w in enumerate(window_ids):
+            for d in range(b_g):
+                members = sorted(idx[:, slot, :, d][valid[:, slot, :, d]].tolist())
+                expected = sorted(np.nonzero(digits[w] == d)[0].tolist()) if d > 0 else []
+                assert members == expected, (w, d)
 
 
 def test_fixed_base_powers_device_matches_native():

@@ -29,3 +29,46 @@ def test_pallas_mont_mul_matches_host():
     res = unpack_standard(np.asarray(out).T, Fr.PARAMS)
     rinv = pow(R, -1, P)
     assert [v * rinv % P for v in res] == [x * y % P for x, y in zip(av, bv)]
+
+
+def test_fq_limb_pads_odd_batches():
+    """FqLimb must zero-pad non-tile-multiple batches up to the Pallas tile
+    (regression: an odd SRS length 524283 produced a tile-1 block spec the
+    TPU lowering rejects).  Interpret mode exercises the real kernel path."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from simpleworks_tpu.fields.bls12_377 import Fq, FQ_MODULUS as Q
+    from simpleworks_tpu.ops.g1_limb import L, FqLimb
+
+    R = Fq.PARAMS.montgomery_r
+    B = 13  # odd, far below the tile
+    av = [rnd.randrange(Q) for _ in range(B)]
+    bv = [rnd.randrange(Q) for _ in range(B)]
+
+    def to_lm(vals):
+        arr = np.zeros((L, len(vals)), np.uint32)
+        for i, v in enumerate(vals):
+            m = v * R % Q
+            for t in range(L):
+                arr[t, i] = (m >> (16 * t)) & 0xFFFF
+        return jnp.asarray(arr)
+
+    f = FqLimb(tile=128)  # smallest legal Pallas lane tile — keeps interpret mode fast
+    f._use_pallas = True  # CPU default is the XLA path; force the kernel
+    rinv = pow(R, -1, Q)
+
+    def from_lm(arr):
+        x = np.asarray(arr)
+        return [
+            sum(int(x[t, i]) << (16 * t) for t in range(L)) * rinv % Q
+            for i in range(x.shape[1])
+        ]
+
+    with pltpu.force_tpu_interpret_mode():
+        got_mul = from_lm(f.mul(to_lm(av), to_lm(bv)))
+        got_add = from_lm(f.add(to_lm(av), to_lm(bv)))
+        got_sub = from_lm(f.sub(to_lm(av), to_lm(bv)))
+    assert got_mul == [x * y % Q for x, y in zip(av, bv)]
+    assert got_add == [(x + y) % Q for x, y in zip(av, bv)]
+    assert got_sub == [(x - y) % Q for x, y in zip(av, bv)]
