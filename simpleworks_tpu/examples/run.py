@@ -179,12 +179,38 @@ def run_simple_payments(full: bool) -> None:
         assert not ghost.validate(pp, state, rng)
 
 
+def run_proof_pipeline(full: bool) -> None:
+    """The PP axis demo (SURVEY.md §2.4 'Prover-round pipeline'): a stream
+    of independent circuits proven against one key with Python synthesis
+    pipelined against native/device proving; prints the measured overlap."""
+    from simpleworks_tpu import marlin
+    from simpleworks_tpu.examples.manual_constraints import synthesize
+    from simpleworks_tpu.parallel.proof_pipeline import prove_stream
+
+    values = list(range(3, 11)) if full else [3, 5, 8, 13]
+    with _step("universal_setup + index"):
+        srs = marlin.universal_setup(100, 25, 300, marlin.generate_rand())
+        pk, vk = marlin.index(srs, synthesize(3, 3))
+    with _step(f"pipelined prove x{len(values)}"):
+        fns = [lambda v=v: synthesize(v, v) for v in values]
+        proofs, stats = prove_stream(pk, fns, with_stats=True)
+    with _step("verify all"):
+        for v, proof in zip(values, proofs):
+            assert marlin.verify(vk, [v], proof)
+    print(
+        f"  stats: wall={stats.wall_seconds:.2f}s synth-busy="
+        f"{stats.synth_busy_seconds:.2f}s prove-busy={stats.prove_busy_seconds:.2f}s "
+        f"overlap={stats.overlap_seconds:.2f}s pipeline-speedup={stats.speedup:.2f}x"
+    )
+
+
 WORKLOADS = {
     "test-circuit": run_test_circuit,
     "manual-constraints": run_manual_constraints,
     "merkle-tree": run_merkle_tree,
     "schnorr-signature": run_schnorr_signature,
     "simple-payments": run_simple_payments,
+    "proof-pipeline": run_proof_pipeline,
 }
 
 
@@ -198,7 +224,7 @@ def main(argv: list[str] | None = None) -> int:
         "workloads",
         nargs="*",
         metavar="WORKLOAD",
-        help=f"workloads to run (default: all five): {', '.join(WORKLOADS)}",
+        help=f"workloads to run (default: all): {', '.join(WORKLOADS)}",
     )
     parser.add_argument(
         "--full",

@@ -73,3 +73,14 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_default_mesh_from_config():
+    """parallel.default_mesh builds the configured 1-D mesh (axis name and
+    device count from FrameworkConfig)."""
+    from simpleworks_tpu.config import DEFAULT_CONFIG
+    from simpleworks_tpu.parallel import default_mesh
+
+    m = default_mesh()
+    assert m.axis_names == (DEFAULT_CONFIG.mesh_axis,)
+    assert m.shape[DEFAULT_CONFIG.mesh_axis] == len(jax.devices())
