@@ -24,8 +24,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 from __future__ import annotations
 
 import json
+import multiprocessing as mp
+import os
 import sys
 import time
+import traceback
 
 import numpy as np
 import jax
@@ -34,9 +37,60 @@ import jax.numpy as jnp
 ARKWORKS_CPU_MULS_PER_SEC = 3.0e7
 MSM_N = 1 << 17
 
+#: per-leg wall-clock budgets (seconds).  The tunneled TPU worker can wedge
+#: mid-dispatch (observed: a blocked h2d hangs the process forever); every
+#: leg therefore runs in its own subprocess and is killed at its deadline so
+#: the driver always gets the one-line JSON from whatever legs succeeded.
+LEG_TIMEOUTS = {
+    "montmul": 600,
+    "ntt": 600,
+    "msm": 1200,
+    "marlin": 2400,
+}
+
 
 def log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _leg_main(fn_name: str, conn) -> None:
+    try:
+        log(f"{fn_name}: backend={jax.default_backend()} devices={jax.devices()}")
+        result = globals()[fn_name]()
+        conn.send(("ok", result))
+    except BaseException:  # noqa: BLE001 — report, parent decides
+        conn.send(("err", traceback.format_exc(limit=3)))
+    finally:
+        conn.close()
+
+
+def run_leg(name: str, fn_name: str):
+    """Run one bench leg in a subprocess with a deadline; returns its result
+    or None (timeout/crash logged)."""
+    # spawn: a forked child would inherit the parent's (axon) backend state
+    ctx = mp.get_context("fork" if os.environ.get("SWTPU_BENCH_FORK") else "spawn")
+    parent, child = ctx.Pipe(duplex=False)
+    proc = ctx.Process(target=_leg_main, args=(fn_name, child), daemon=True)
+    proc.start()
+    child.close()
+    timeout = LEG_TIMEOUTS.get(name, 900)
+    result = None
+    if parent.poll(timeout):
+        try:
+            status, payload = parent.recv()
+            if status == "ok":
+                result = payload
+            else:
+                log(f"{name} leg failed:\n{payload}")
+        except EOFError:
+            log(f"{name} leg died without a result")
+    else:
+        log(f"{name} leg exceeded {timeout}s — killing (wedged device link?)")
+    proc.join(timeout=10)
+    if proc.is_alive():
+        proc.kill()
+        proc.join(timeout=10)
+    return result
 
 
 def bench_montmul() -> float:
@@ -59,7 +113,18 @@ def bench_montmul() -> float:
         out = mul(out, b)
     out.block_until_ready()
     rate = batch * iters / (time.perf_counter() - start)
-    log(f"fr mont-mul: {rate:.3e} muls/s")
+    # spot-verify two lanes against exact host arithmetic (guards against a
+    # link/backend that acks without computing)
+    from simpleworks_tpu.fields.pack import unpack_standard
+
+    rinv = pow(R, -1, FR_MODULUS)
+    got = unpack_standard(np.asarray(out[:, :2]).T, Fr.PARAMS)
+    for lane in range(2):
+        x = vals[lane] % FR_MODULUS
+        y = vals[(lane - 1) % batch] % FR_MODULUS  # b = roll(a, 1)
+        expect = x * pow(y, 21, FR_MODULUS) % FR_MODULUS
+        assert got[lane] * rinv % FR_MODULUS == expect, "mont-mul lane mismatch"
+    log(f"fr mont-mul: {rate:.3e} muls/s (verified)")
     return rate
 
 
@@ -169,19 +234,20 @@ def bench_marlin_prove() -> dict:
 
 def main() -> None:
     extra: dict = {}
-    rate = bench_montmul()
-    try:
-        extra.update(bench_ntt())
-    except Exception as exc:  # pragma: no cover
-        log(f"ntt failed: {exc}")
-    try:
-        extra.update(bench_msm())
-    except Exception as exc:  # pragma: no cover
-        log(f"msm failed: {exc}")
-    try:
-        extra.update(bench_marlin_prove())
-    except Exception as exc:  # pragma: no cover
-        log(f"marlin failed: {exc}")
+    rate = run_leg("montmul", "bench_montmul")
+    if rate is None:
+        extra["montmul_leg_failed"] = True
+        rate = 0.0
+    for name, fn_name in (
+        ("ntt", "bench_ntt"),
+        ("msm", "bench_msm"),
+        ("marlin", "bench_marlin_prove"),
+    ):
+        result = run_leg(name, fn_name)
+        if result is not None:
+            extra.update(result)
+        else:
+            extra[f"{name}_leg_failed"] = True
 
     print(
         json.dumps(

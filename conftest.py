@@ -15,6 +15,8 @@ if "xla_force_host_platform_device_count" not in flags:
 # sitecustomize imports jax at interpreter startup, so setting the env var
 # here is too late — update the live config as well.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# keep test-scale SRS artifacts out of the machine-wide disk cache
+os.environ.setdefault("SWTPU_SRS_CACHE_DIR", "/tmp/swtpu_srs_cache_tests")
 try:
     import jax
 

@@ -138,11 +138,100 @@ def setup(max_degree: int, rng) -> UniversalSRS:
     cached = _SRS_MEMO.get(memo_key)
     if cached is not None:
         return cached
-    srs = _setup_uncached(max_degree, tau, gamma)
+    srs = _load_srs_disk(memo_key)
+    if srs is None:
+        srs = _setup_uncached(max_degree, tau, gamma)
+        _save_srs_disk(memo_key, srs)
     if len(_SRS_MEMO) >= _SRS_MEMO_MAX:
         _SRS_MEMO.pop(next(iter(_SRS_MEMO)))
     _SRS_MEMO[memo_key] = srs
     return srs
+
+
+# --------------------------- disk checkpoint of the powers table -------------
+#
+# The artifact is deterministic given (max_degree, τ, γ) — the memo key — so
+# a per-machine disk cache is as transparent as the in-process memo but also
+# amortizes SRS generation across processes (the reference workloads pay it
+# per run: ~minutes at the (100k, 25k, 300k) scale).  Only the native
+# [N, 18]-u64 layout is cached (the fast path); disable with
+# ``SWTPU_SRS_DISK_CACHE=0`` or point elsewhere with ``SWTPU_SRS_CACHE_DIR``.
+
+_SRS_DISK_FORMAT = 1
+_SRS_DISK_MAX_FILES = 4
+
+
+def _srs_disk_path(memo_key) -> "str | None":
+    import hashlib
+    import os
+    import tempfile
+
+    if os.environ.get("SWTPU_SRS_DISK_CACHE") == "0":
+        return None
+    cache_dir = os.environ.get(
+        "SWTPU_SRS_CACHE_DIR",
+        os.path.join(tempfile.gettempdir(), "swtpu_srs_cache"),
+    )
+    tag = hashlib.sha256(repr((_SRS_DISK_FORMAT, *memo_key)).encode()).hexdigest()[:24]
+    return os.path.join(cache_dir, f"srs_{memo_key[0]}_{tag}.npz")
+
+
+def _save_srs_disk(memo_key, srs: UniversalSRS) -> None:
+    import os
+
+    import numpy as np
+
+    path = _srs_disk_path(memo_key)
+    if path is None or srs.powers_native is None:
+        return
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        cache_dir = os.path.dirname(path)
+        existing = sorted(
+            (
+                os.path.join(cache_dir, f)
+                for f in os.listdir(cache_dir)
+                if f.startswith("srs_") and f.endswith(".npz") and ".tmp." not in f
+            ),
+            key=os.path.getmtime,
+        )
+        while len(existing) >= _SRS_DISK_MAX_FILES:
+            os.unlink(existing.pop(0))  # oldest first
+        small = np.frombuffer(
+            srs.h.serialize_compressed()
+            + srs.beta_h.serialize_compressed()
+            + b"".join(p.serialize_compressed() for p in srs.powers_of_gamma_g),
+            dtype=np.uint8,
+        )
+        tmp = f"{path}.{os.getpid()}.tmp.npz"
+        np.savez(tmp, powers=srs.powers_native, small=small,
+                 n_gamma=np.int64(len(srs.powers_of_gamma_g)))
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
+def _load_srs_disk(memo_key) -> "UniversalSRS | None":
+    import numpy as np
+
+    path = _srs_disk_path(memo_key)
+    if path is None:
+        return None
+    try:
+        with np.load(path) as data:
+            powers = np.ascontiguousarray(data["powers"])
+            small = data["small"].tobytes()
+            n_gamma = int(data["n_gamma"])
+    except (OSError, KeyError, ValueError):
+        return None
+    h = G2Point.deserialize_compressed(small[:96])
+    beta_h = G2Point.deserialize_compressed(small[96:192])
+    gamma_powers = [
+        G1Point.deserialize_compressed(small[192 + 48 * i : 192 + 48 * (i + 1)])
+        for i in range(n_gamma)
+    ]
+    return UniversalSRS(h=h, beta_h=beta_h, powers_native=powers,
+                        powers_of_gamma_g=gamma_powers)
 
 
 def _setup_uncached(max_degree: int, tau: int, gamma: int) -> UniversalSRS:
@@ -299,26 +388,31 @@ def batch_open(
     import numpy as np
 
     from .. import native
+    from ..utils.observability import PROVER_TIMER
 
-    terms = list(_batch_terms(labeled, srs.max_degree, point, xi, rands))
-    if native.available():
-        max_len = max((len(p.vec) for _, p, _, _, _ in terms), default=0)
-        acc = np.zeros((max(max_len, 1), 4), dtype="<u8")
-        for weight, poly, _comm, _value, _blind in terms:
-            if not poly.is_zero():
-                # axpy in the Montgomery domain: acc += Mont(c)·Mont(w)·R⁻¹
-                native.fr_axpy_arr(acc, poly.vec.a, FrVec.mont_scalar(weight))
-        combined = DensePoly(FrVec(acc))
-    else:
-        combined = DensePoly.zero()
-        for weight, poly, _comm, _value, _blind in terms:
-            combined = combined + poly.scale(weight)
-    combined_blind = DensePoly.zero()
-    for weight, _poly, _comm, _value, blind in terms:
-        if blind is not None and not blind.is_zero():
-            combined_blind = combined_blind + blind.scale(weight)
-    witness, _rem = combined.divide_by_linear(point)
-    w_point = _srs_msm(srs, witness.vec) if not witness.is_zero() else G1Point.identity()
+    with PROVER_TIMER.region("kzg.batch_open.terms"):
+        terms = list(_batch_terms(labeled, srs.max_degree, point, xi, rands))
+    with PROVER_TIMER.region("kzg.batch_open.combine"):
+        if native.available():
+            max_len = max((len(p.vec) for _, p, _, _, _ in terms), default=0)
+            acc = np.zeros((max(max_len, 1), 4), dtype="<u8")
+            for weight, poly, _comm, _value, _blind in terms:
+                if not poly.is_zero():
+                    # axpy in the Montgomery domain: acc += Mont(c)·Mont(w)·R⁻¹
+                    native.fr_axpy_arr(acc, poly.vec.a, FrVec.mont_scalar(weight))
+            combined = DensePoly(FrVec(acc))
+        else:
+            combined = DensePoly.zero()
+            for weight, poly, _comm, _value, _blind in terms:
+                combined = combined + poly.scale(weight)
+        combined_blind = DensePoly.zero()
+        for weight, _poly, _comm, _value, blind in terms:
+            if blind is not None and not blind.is_zero():
+                combined_blind = combined_blind + blind.scale(weight)
+    with PROVER_TIMER.region("kzg.batch_open.divide"):
+        witness, _rem = combined.divide_by_linear(point)
+    with PROVER_TIMER.region("kzg.batch_open.msm"):
+        w_point = _srs_msm(srs, witness.vec) if not witness.is_zero() else G1Point.identity()
     random_v = 0
     if not combined_blind.is_zero():
         random_v = combined_blind.evaluate(point)

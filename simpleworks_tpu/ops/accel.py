@@ -36,6 +36,11 @@ def device_available() -> bool:
         return False
     if flag == "1":
         return True
+    # honor an explicit CPU pin without touching jax: backend init over a
+    # wedged device link can block the whole process (observed on the
+    # tunneled worker), and a CPU-pinned run never wants the device anyway
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return False
     try:
         import jax
 

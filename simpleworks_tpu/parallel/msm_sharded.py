@@ -33,6 +33,8 @@ from ..ops.msm_pippenger import (
     SCALAR_BITS,
     _round_up_depth,
     accumulate_windows,
+    device_grid_from_digits,
+    window_counts,
     window_digits,
 )
 
@@ -114,6 +116,29 @@ def build_sharded_schedule(scalars_std: np.ndarray, c: int, n_shards: int):
     return w_count, out
 
 
+def _tree_reduce_parts(parts, n_dev: int, w_count: int):
+    """[n_dev, 3, 24, W] sharded window partials -> ([24, W],)*3 totals;
+    a log2(n_dev) Jacobian tree reduction the compiler schedules over ICI."""
+    n = n_dev
+    while n > 1:
+        half = n // 2
+        left = tuple(
+            jnp.moveaxis(parts[:half, i], 0, -1).reshape(24, half * w_count)
+            for i in range(3)
+        )
+        right = tuple(
+            jnp.moveaxis(parts[half:n, i], 0, -1).reshape(24, half * w_count)
+            for i in range(3)
+        )
+        summed = g1_limb.add(left, right)
+        parts = jnp.stack(
+            [jnp.moveaxis(a.reshape(24, w_count, half), -1, 0) for a in summed],
+            axis=1,
+        )
+        n = half
+    return tuple(parts[0, i] for i in range(3))  # ([24, W],)*3
+
+
 def make_sharded_msm(mesh: Mesh, axis_name: str, w_count: int, segs: int, b: int):
     """Jitted SPMD MSM stage for one window group: (XYZ [3, 24, N] sharded
     on points, idx/valid [n_dev, D, lanes] sharded on the leading axis) ->
@@ -135,33 +160,102 @@ def make_sharded_msm(mesh: Mesh, axis_name: str, w_count: int, segs: int, b: int
     )
 
     def run(xyz, idx, valid):
-        parts = sharded(xyz, idx, valid)  # [n_dev, 3, 24, W]
-        n = n_dev
-        while n > 1:
-            half = n // 2
-            left = tuple(
-                jnp.moveaxis(parts[:half, i], 0, -1).reshape(24, half * w_count)
-                for i in range(3)
-            )
-            right = tuple(
-                jnp.moveaxis(parts[half:n, i], 0, -1).reshape(24, half * w_count)
-                for i in range(3)
-            )
-            summed = g1_limb.add(left, right)
-            parts = jnp.stack(
-                [jnp.moveaxis(a.reshape(24, w_count, half), -1, 0) for a in summed],
-                axis=1,
-            )
-            n = half
-        return tuple(parts[0, i] for i in range(3))  # ([24, W],)*3
+        return _tree_reduce_parts(sharded(xyz, idx, valid), n_dev, w_count)
 
     return jax.jit(run)
 
 
+def make_sharded_msm_digits(mesh: Mesh, axis_name: str, n_local: int,
+                            w_count: int, segs: int, b: int, depth: int):
+    """Digits-schedule SPMD MSM stage: (XYZ [3, 24, N] sharded on points,
+    digits [n_dev, g, per] u8/u16 sharded on the leading axis) ->
+    ([24, W],)*3 combined window sums.  Each device argsorts its local
+    digit block and builds its gather grid on device — the host ships
+    1 B/point/window instead of ~20x that in grids, and does no sorting."""
+    n_dev = mesh.shape[axis_name]
+
+    def local_step(xyz, digits_local):
+        idx, valid = device_grid_from_digits(
+            digits_local[0].astype(jnp.int32), n_local, depth, segs, b, 0
+        )
+        wins = accumulate_windows(
+            xyz, idx, valid, w_count, segs, b, axis_name=axis_name
+        )
+        return jnp.stack(wins)[None]  # [1, 3, 24, W]
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(None, None, axis_name), P(axis_name, None, None)),
+        out_specs=P(axis_name, None, None, None),
+    )
+
+    def run(xyz, digits):
+        return _tree_reduce_parts(sharded(xyz, digits), n_dev, w_count)
+
+    return jax.jit(run)
+
+
+def build_sharded_meta(digits: np.ndarray, c: int, n_shards: int):
+    """Shape decisions for the digits schedule: per-shard bucket counts ->
+    global (max-over-shards) depth per window -> the single-chip grouping
+    policy.  -> [(window_ids, segs, b_g, depth)] with one COMMON shape
+    across shards (one SPMD program)."""
+    from ..ops.msm_pippenger import _TARGET_LANES
+
+    n = digits.shape[1]
+    per = n // n_shards
+    b = 1 << c
+    w_count = digits.shape[0]
+    depth_w = [0] * w_count
+    max_digit_w = [1] * w_count
+    for s in range(n_shards):
+        counts = window_counts(digits[:, s * per:(s + 1) * per], b)
+        for w in range(w_count):
+            nz = counts[w, 1:]
+            if nz.size:
+                depth_w[w] = max(depth_w[w], int(nz.max()))
+            live = np.nonzero(counts[w])[0]
+            if live.size:
+                max_digit_w[w] = max(max_digit_w[w], int(live.max()))
+
+    ordered = sorted(range(w_count), key=lambda w: depth_w[w])
+    groups: list[list[int]] = []
+    for w in ordered:
+        if groups and depth_w[w] <= max(2 * max(depth_w[groups[-1][0]], 8), 64):
+            groups[-1].append(w)
+        else:
+            groups.append([w])
+
+    out = []
+    for group in groups:
+        raw_depth = max(max(depth_w[w] for w in group), 1)
+        g = len(group)
+        max_digit = max(max_digit_w[w] for w in group)
+        b_g = 1
+        while b_g <= max_digit:
+            b_g <<= 1
+        b_g = max(b_g, 2)
+        segs = 1
+        while g * b_g * segs < _TARGET_LANES and segs * 2 <= raw_depth:
+            segs <<= 1
+        depth = _round_up_depth((raw_depth + segs - 1) // segs)
+        out.append((group, segs, b_g, depth))
+    return out
+
+
 def sharded_msm_host(mesh: Mesh, axis_name: str, points: list[G1Point],
-                     scalars: list[int], c: int = 8) -> G1Point:
-    """Host wrapper: pad to a device-divisible point count, build per-shard
-    schedules, run every window group over the mesh, fold windows."""
+                     scalars: list[int], c: int = 8,
+                     schedule: str | None = None) -> G1Point:
+    """Host wrapper: pad to a device-divisible point count, run every window
+    group over the mesh, fold windows.  ``schedule`` as in
+    :func:`simpleworks_tpu.ops.msm_pippenger.msm_device`: ``"device"``
+    (default) ships sharded digit blocks and builds grids per device;
+    ``"host"`` ships pre-built per-shard grids (oracle path)."""
+    import os
+
+    if schedule is None:
+        schedule = os.environ.get("SWTPU_MSM_SCHEDULE", "device")
     n_dev = mesh.shape[axis_name]
     n = len(points)
     target = max(n_dev, ((n + n_dev - 1) // n_dev) * n_dev)
@@ -172,18 +266,39 @@ def sharded_msm_host(mesh: Mesh, axis_name: str, points: list[G1Point],
     xyz_dev = jax.device_put(
         jnp.asarray(xyz), NamedSharding(mesh, P(None, None, axis_name))
     )
-    w_count, groups = build_sharded_schedule(std, c, n_dev)
-    window_points = [G1Point.identity()] * w_count
     grid_spec = NamedSharding(mesh, P(axis_name, None, None))
-    for window_ids, segs, b_g, idx, valid in groups:
-        run = make_sharded_msm(mesh, axis_name, len(window_ids), segs, b_g)
-        wins = run(
-            xyz_dev,
-            jax.device_put(jnp.asarray(idx), grid_spec),
-            jax.device_put(jnp.asarray(valid), grid_spec),
-        )
-        for w, pt in zip(window_ids, g1_limb.points_from_limb_major(wins)):
-            window_points[w] = pt
+    w_count = (SCALAR_BITS + c - 1) // c
+    window_points = [G1Point.identity()] * w_count
+    if schedule == "device":
+        per = target // n_dev
+        digits = window_digits(std, c)  # [W, target]
+        d_small = digits.astype(np.uint8 if c <= 8 else np.uint16)
+        # [W, n_dev, per] -> [n_dev, W, per]: shard-local digit blocks
+        blocks = d_small.reshape(w_count, n_dev, per).transpose(1, 0, 2)
+        for window_ids, segs, b_g, depth in build_sharded_meta(digits, c, n_dev):
+            run = make_sharded_msm_digits(
+                mesh, axis_name, per, len(window_ids), segs, b_g, depth
+            )
+            wins = run(
+                xyz_dev,
+                jax.device_put(
+                    jnp.asarray(np.ascontiguousarray(blocks[:, window_ids])),
+                    grid_spec,
+                ),
+            )
+            for w, pt in zip(window_ids, g1_limb.points_from_limb_major(wins)):
+                window_points[w] = pt
+    else:
+        w_count, groups = build_sharded_schedule(std, c, n_dev)
+        for window_ids, segs, b_g, idx, valid in groups:
+            run = make_sharded_msm(mesh, axis_name, len(window_ids), segs, b_g)
+            wins = run(
+                xyz_dev,
+                jax.device_put(jnp.asarray(idx), grid_spec),
+                jax.device_put(jnp.asarray(valid), grid_spec),
+            )
+            for w, pt in zip(window_ids, g1_limb.points_from_limb_major(wins)):
+                window_points[w] = pt
     total = G1Point.identity()
     for wp in reversed(window_points):
         for _ in range(c):

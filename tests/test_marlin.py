@@ -133,3 +133,28 @@ def test_srs_memo_is_transparent():
     r3.next_u64()
     s3 = kzg10.setup(50, r3)
     assert s3 is not s1
+
+
+def test_srs_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """The disk checkpoint of the powers table reproduces an identical SRS
+    in a fresh process (simulated by clearing the in-process memo)."""
+    import numpy as np
+
+    from simpleworks_tpu.kzg import kzg10
+    from simpleworks_tpu.poly.dense import DensePoly
+    from simpleworks_tpu.utils.rng import test_rng
+
+    monkeypatch.setenv("SWTPU_SRS_CACHE_DIR", str(tmp_path))
+    s1 = kzg10.setup(60, test_rng())
+    if s1.powers_native is None:
+        pytest.skip("native runtime not built — disk cache covers the native layout")
+    assert any(f.name.startswith("srs_") for f in tmp_path.iterdir())
+    kzg10._SRS_MEMO.clear()
+    s2 = kzg10.setup(60, test_rng())
+    assert s2 is not s1
+    assert np.array_equal(s2.powers_native, s1.powers_native)
+    assert (s2.h, s2.beta_h) == (s1.h, s1.beta_h)
+    assert s2.powers_of_gamma_g == s1.powers_of_gamma_g
+    p = DensePoly([5, 7, 11])
+    assert kzg10.commit(s1, p).comm == kzg10.commit(s2, p).comm
+    kzg10._SRS_MEMO.clear()

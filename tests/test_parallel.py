@@ -35,13 +35,28 @@ def test_sharded_ntt_matches_host(mesh):
     assert got == expected
 
 
-def test_sharded_msm_matches_host(mesh):
+@pytest.mark.parametrize("schedule", ["device", "host"])
+def test_sharded_msm_matches_host(mesh, schedule):
     g = G1Point.generator()
     points = [g.scalar_mul(i + 3) for i in range(16)]
     scalars = [(i * 17 + 5) for i in range(16)]
     expected = msm(points, scalars)
-    got = sharded_msm_host(mesh, "shard", points, scalars)
+    got = sharded_msm_host(mesh, "shard", points, scalars, schedule=schedule)
     assert got == expected
+
+
+def test_sharded_msm_uneven_and_wide(mesh):
+    """Non-divisible point count (padded) + 33-byte scalars through the
+    digits schedule."""
+    import random
+
+    rnd = random.Random(7)
+    g = G1Point.generator()
+    n = 13  # not divisible by 8 devices
+    points = [g.scalar_mul(i + 2) for i in range(n)]
+    scalars = [rnd.randrange(FR_MODULUS) for _ in range(n)]
+    got = sharded_msm_host(mesh, "shard", points, scalars, schedule="device")
+    assert got == msm(points, scalars)
 
 
 def test_sharded_witness_dp(mesh):
