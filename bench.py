@@ -104,14 +104,17 @@ def bench_montmul() -> float:
     R = Fr.PARAMS.montgomery_r
     a = jnp.asarray(pack_standard([v * R % FR_MODULUS for v in vals], Fr.PARAMS)).T.copy()
     b = jnp.roll(a, 1, axis=1)
+    from simpleworks_tpu.utils.observability import maybe_jax_profile
+
     mul = make_mont_mul(Fr.PARAMS)
     out = mul(a, b)
     out.block_until_ready()
     iters = 20
     start = time.perf_counter()
-    for _ in range(iters):
-        out = mul(out, b)
-    out.block_until_ready()
+    with maybe_jax_profile("montmul"):
+        for _ in range(iters):
+            out = mul(out, b)
+        out.block_until_ready()
     rate = batch * iters / (time.perf_counter() - start)
     # spot-verify two lanes against exact host arithmetic (guards against a
     # link/backend that acks without computing)

@@ -276,18 +276,38 @@ def _srs_msm(srs: UniversalSRS, coeffs, offset: int = 0) -> G1Point:
     vec = coeffs if isinstance(coeffs, FrVec) else FrVec.from_ints(coeffs)
     from .. import native
     from ..ops import accel
+    from ..utils.observability import PROVER_TIMER
 
     if srs.powers_native is not None and accel.use_device_msm(n):
         from ..ops import msm_pippenger
 
-        return msm_pippenger.msm_device(
-            srs.device_powers(), vec.to_std_array(), offset=offset
-        )
+        with PROVER_TIMER.region("srs_msm.device"):
+            return msm_pippenger.msm_device(
+                srs.device_powers(), vec.to_std_array(), offset=offset
+            )
     if native.available():
-        scalars_std = native.fr_from_mont_arr(vec.a)
+        with PROVER_TIMER.region("srs_msm.from_mont"):
+            scalars_std = native.fr_from_mont_arr(vec.a)
         if srs.powers_native is not None:
-            return native.g1_msm_arr(srs.powers_native[offset : offset + n], scalars_std)
-    return msm(srs.powers_of_g[offset : offset + n], vec.to_ints())
+            with PROVER_TIMER.region("srs_msm.native"):
+                import os
+                import time as _time
+
+                t0 = _time.perf_counter()
+                out = native.g1_msm_arr(
+                    srs.powers_native[offset : offset + n], scalars_std
+                )
+                if os.environ.get("SWTPU_TRACE"):
+                    import sys
+
+                    print(
+                        f"[trace] srs_msm.native n={n} offset={offset} "
+                        f"{_time.perf_counter() - t0:.2f}s",
+                        file=sys.stderr, flush=True,
+                    )
+                return out
+    with PROVER_TIMER.region("srs_msm.python"):
+        return msm(srs.powers_of_g[offset : offset + n], vec.to_ints())
 
 
 @dataclass

@@ -102,10 +102,40 @@ def generate_universal_srs(num_constraints, num_variables, num_non_zero, rng):
     return universal_setup(num_constraints, num_variables, num_non_zero, rng)
 
 
+#: transparent index memo — ``index`` is deterministic given (srs, matrix
+#: content), and the reference's ledger re-indexes the SAME circuit shape per
+#: transaction (examples/simple-payments/transaction.rs:116); keyed by the
+#: srs object identity (kept alive by the cached pk) + a matrix fingerprint.
+_INDEX_MEMO: dict = {}
+_INDEX_MEMO_MAX = 4
+
+
+def _matrix_fingerprint(cs, raw) -> bytes:
+    h = __import__("hashlib").blake2s()
+    h.update(
+        b"%d,%d,%d" % (cs.num_instance_variables, cs.num_witness_variables,
+                       cs.num_constraints)
+    )
+    for rows, cols, coeffs in raw:
+        h.update(repr(rows).encode())
+        h.update(repr(cols).encode())
+        h.update(repr(coeffs).encode())
+    return h.digest()
+
+
 def index(srs: UniversalSRS, cs) -> tuple[IndexProverKey, IndexVerifierKey]:
     """Arithmetize + commit the index polynomials
-    (reference MarlinInst::index / index_from_constraint_system)."""
-    idx = ahp.index_matrices(cs)
+    (reference MarlinInst::index / index_from_constraint_system).
+
+    Memoized on (srs identity, matrix content): deterministic, so repeated
+    indexing of the same circuit shape — the ledger's per-transaction
+    pattern — returns the cached keys."""
+    raw = cs.to_matrices()
+    memo_key = (id(srs), _matrix_fingerprint(cs, raw))
+    cached = _INDEX_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
+    idx = ahp.index_matrices(cs, raw=raw)
     if idx.info.max_degree > srs.max_degree:
         raise ValueError(
             f"circuit too large for SRS: needs degree {idx.info.max_degree}, "
@@ -125,7 +155,11 @@ def index(srs: UniversalSRS, cs) -> tuple[IndexProverKey, IndexVerifierKey]:
         srs_max_degree=srs.max_degree,
         gamma_g=srs.gamma_g if srs.powers_of_gamma_g else None,
     )
-    return IndexProverKey(index=idx, srs=srs, vk=vk), vk
+    result = (IndexProverKey(index=idx, srs=srs, vk=vk), vk)
+    if len(_INDEX_MEMO) >= _INDEX_MEMO_MAX:
+        _INDEX_MEMO.pop(next(iter(_INDEX_MEMO)))
+    _INDEX_MEMO[memo_key] = result
+    return result
 
 
 # reference alias (src/marlin/mod.rs:88-94)

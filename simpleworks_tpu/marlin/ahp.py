@@ -113,14 +113,18 @@ def _map_columns(cols, num_instance: int, ell: int) -> np.ndarray:
     return np.where(cols < num_instance, cols, ell + (cols - num_instance)).astype(np.uint32)
 
 
-def index_matrices(cs) -> Index:
-    """Arithmetize the constraint system's A/B/C (the Marlin indexer core)."""
+def index_matrices(cs, raw=None) -> Index:
+    """Arithmetize the constraint system's A/B/C (the Marlin indexer core).
+
+    ``raw``: pre-computed ``cs.to_matrices()`` output (the facade computes
+    it once for its cache fingerprint and passes it through)."""
     num_instance = cs.num_instance_variables
     ell = next_pow2(num_instance)
     num_cols_h = ell + cs.num_witness_variables
     n = next_pow2(max(cs.num_constraints, num_cols_h, 2))
     domain_h = Radix2Domain(n)
-    raw = cs.to_matrices()
+    if raw is None:
+        raw = cs.to_matrices()
     m = next_pow2(max(max((len(r[0]) for r in raw), default=1), 2))
     domain_k = Radix2Domain(m)
     n_inv = pow(n, P - 2, P)

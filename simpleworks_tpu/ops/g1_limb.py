@@ -182,8 +182,40 @@ def double(p):
     return (X3, Y3, Z3)
 
 
+def _use_fused_add() -> bool:
+    import os
+
+    flag = os.environ.get("SWTPU_FUSED_ADD")
+    if flag is not None:
+        return flag == "1"
+    # opt-in until validated on live hardware in this build's CI loop;
+    # the composed path is the default oracle
+    return False
+
+
 def add(p, q):
-    """Complete (branchless) Jacobian addition — [24, B] coordinate triples."""
+    """Complete (branchless) Jacobian addition — [24, B] coordinate triples.
+
+    On TPU the whole formula runs as ONE fused Pallas kernel
+    (:mod:`.g1_fused_pallas`); the composed per-op path below is the
+    oracle and the CPU/virtual-mesh fallback (``SWTPU_FUSED_ADD=0/1``
+    overrides)."""
+    if _use_fused_add():
+        from .g1_fused_pallas import TILE as FUSED_TILE, make_fused_add
+
+        B = p[0].shape[1]
+        pad = -B % FUSED_TILE
+        if pad:
+            p = tuple(jnp.pad(a, ((0, 0), (0, pad))) for a in p)
+            q = tuple(jnp.pad(a, ((0, 0), (0, pad))) for a in q)
+        out = make_fused_add()(p, q)
+        if pad:
+            out = tuple(a[:, :B] for a in out)
+        return out
+    return _add_composed(p, q)
+
+
+def _add_composed(p, q):
     f = fq_limb()
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q

@@ -330,21 +330,30 @@ def _make_accumulate_digits(n_points: int, n_scalars: int, depth: int,
     return jax.jit(run)
 
 
-def msm_device(points_lm, scalars_std: np.ndarray, c: int = 8,
+def _auto_window_bits(n: int) -> int:
+    """Window size minimizing scan work (N·W) + bucket-combine work
+    (2c·W·2^c): larger windows win once N amortizes the combine."""
+    return 13 if n >= (1 << 19) else 8
+
+
+def msm_device(points_lm, scalars_std: np.ndarray, c: int | None = None,
                offset: int = 0, schedule: str | None = None) -> G1Point:
     """MSM of ``scalars_std`` ([N, 4] u64 standard form) against points
     ``offset..offset+N`` of the ([24, M],)*3 limb-major device array.
 
-    ``schedule``: ``"device"`` (default) uploads only the u8 digit matrix
-    (~c·N/8 bytes/point) and builds the gather grids on device;
-    ``"host"`` ships pre-built int32 grids (the original path, kept as the
-    bit-exactness oracle).  Env override: ``SWTPU_MSM_SCHEDULE``.
+    ``c``: window bits (default: size-scaled).  ``schedule``: ``"device"``
+    (default) uploads only the u8/u16 digit matrix (~c·N/8 bytes/point)
+    and builds the gather grids on device; ``"host"`` ships pre-built
+    int32 grids (the original path, kept as the bit-exactness oracle).
+    Env override: ``SWTPU_MSM_SCHEDULE``.
     """
     import os
 
     n = scalars_std.shape[0]
     if n == 0:
         return G1Point.identity()
+    if c is None:
+        c = _auto_window_bits(n)
     if schedule is None:
         schedule = os.environ.get("SWTPU_MSM_SCHEDULE", "device")
     w_count = (SCALAR_BITS + c - 1) // c

@@ -79,6 +79,24 @@ def maybe_report_prover(label: str) -> None:
 
 
 @contextmanager
+def maybe_jax_profile(label: str):
+    """Capture a JAX profiler trace (TensorBoard/Perfetto format) of the
+    enclosed region when ``SWTPU_JAX_PROFILE=<dir>`` is set — kernel-level
+    visibility (XLA op timeline, HBM traffic) on top of the wall-clock
+    timers.  No-op otherwise."""
+    import os
+
+    out_dir = os.environ.get("SWTPU_JAX_PROFILE")
+    if not out_dir:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(os.path.join(out_dir, label)):
+        yield
+
+
+@contextmanager
 def device_trace(log_dir: str):
     """JAX profiler trace around a region (kernel-level timeline for
     xprof/tensorboard) — the device-level complement to KernelTimer."""

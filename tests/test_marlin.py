@@ -158,3 +158,23 @@ def test_srs_disk_cache_roundtrip(tmp_path, monkeypatch):
     p = DensePoly([5, 7, 11])
     assert kzg10.commit(s1, p).comm == kzg10.commit(s2, p).comm
     kzg10._SRS_MEMO.clear()
+
+
+def test_index_memo_same_structure_different_witness():
+    """index() memoizes on matrix content: two circuits with identical
+    structure but different witness values share keys (the ledger's
+    per-transaction pattern); a different structure misses."""
+    from simpleworks_tpu import marlin as m
+
+    srs = m.universal_setup(100, 25, 300, m.generate_rand())
+    m._INDEX_MEMO.clear()
+    pk1, vk1 = m.index(srs, manual_constraints.synthesize(3, 3))
+    pk2, vk2 = m.index(srs, manual_constraints.synthesize(9, 9))
+    assert pk1 is pk2 and vk1 is vk2  # same matrices -> cache hit
+    cs3 = test_circuit.synthesize(1, 1)
+    pk3, _ = m.index(srs, cs3)
+    assert pk3 is not pk1
+    # cached keys still prove/verify the *new* witness
+    proof = m.prove(pk2, manual_constraints.synthesize(9, 9))
+    assert m.verify(vk2, [9], proof)
+    m._INDEX_MEMO.clear()
