@@ -139,20 +139,37 @@ class Radix2Domain:
             import numpy as _np
             import jax
             import jax.numpy as jnp
-            from ..ops.ntt_mxu import get_mxu_ntt
 
-            ntt = get_mxu_ntt(self.size)
-            x = jnp.asarray(_np.ascontiguousarray(v.to_device_limbs().T))
+            # MXU DFT-as-matmul NTT on real TPUs; the XLA butterfly NTT on
+            # CPU/virtual meshes (same conventions, no Pallas lowering
+            # needed there — routing stays proof-invisible either way,
+            # tests/test_accel_routing.py)
+            on_tpu = jax.default_backend() == "tpu"
+            if on_tpu:
+                from ..ops.ntt_mxu import get_mxu_ntt
+
+                ntt = get_mxu_ntt(self.size)
+                x = jnp.asarray(_np.ascontiguousarray(v.to_device_limbs().T))
+            else:
+                from .ntt_device import get_device_ntt
+
+                ntt = get_device_ntt(self.size)
+                x = jnp.asarray(v.to_device_limbs())
+
+            def _back(y):
+                arr = _np.asarray(jax.device_get(y))
+                return FrVec.from_device_limbs(arr.T if on_tpu else arr)
+
             inverse = omega == self.group_gen_inv
             if inverse and (scale == self.size_inv or scale is None):
                 y = ntt.ifft_mont(x)  # 1/n folded into the inverse tables
-                out = FrVec.from_device_limbs(_np.asarray(jax.device_get(y)).T)
+                out = _back(y)
                 if scale is None:  # caller wanted no scaling: undo
                     out = out.scale(self.size)
                 return out
             if not inverse and scale is None and omega == self.group_gen:
                 y = ntt.fft_mont(x)
-                return FrVec.from_device_limbs(_np.asarray(jax.device_get(y)).T)
+                return _back(y)
             # fall through for exotic omega/scale combinations
 
         from .. import native
