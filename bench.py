@@ -157,6 +157,11 @@ def bench_ntt() -> dict:
 
 
 def bench_msm() -> dict:
+    # fused single-launch Jacobian-add kernel: +10% steady-state on v5e
+    # (1.45 s -> 1.32 s at 2^17) at the cost of a minutes-long first
+    # compile, amortized by the persistent XLA cache; enabled for this leg
+    # (a dedicated subprocess), opt-in elsewhere.
+    os.environ.setdefault("SWTPU_FUSED_ADD", "1")
     from simpleworks_tpu import native
     from simpleworks_tpu.curves.bls12_377 import G1Point
     from simpleworks_tpu.fields.bls12_377 import FR_MODULUS as P

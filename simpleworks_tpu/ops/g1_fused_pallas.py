@@ -214,6 +214,9 @@ def make_fused_add(tile: int = TILE):
             grid=grid,
             in_specs=[coord_spec] * 6 + [const_spec, const_spec],
             out_specs=(coord_spec, coord_spec, coord_spec),
+            # non-TPU backends (tests, virtual meshes) can't lower Mosaic;
+            # run the same kernel under the Pallas interpreter there
+            interpret=jax.default_backend() != "tpu",
         )(X1, Y1, Z1, X2, Y2, Z2, jnp.asarray(p_limbs_np), jnp.asarray(one_np))
         return out
 

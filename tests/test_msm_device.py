@@ -128,3 +128,30 @@ def test_fixed_base_powers_device_matches_native():
     got = fixed_base_powers_device(g, std)
     expected = native.g1_fixed_base_raw(g, scalars)
     assert np.array_equal(np.asarray(got), expected)
+
+
+def test_fused_add_matches_composed_and_host(monkeypatch):
+    """The single-launch fused Jacobian-add kernel (ops/g1_fused_pallas,
+    interpret mode off-TPU) is bit-exact with the composed path and the
+    host oracle, including identity/double/inverse edge cases."""
+    import jax.numpy as jnp
+
+    from simpleworks_tpu.ops.g1_fused_pallas import TILE, make_fused_add
+
+    g = G1Point.generator()
+    pts_p = [g.scalar_mul(i * 7919 + 3) for i in range(8)]
+    pts_q = [g.scalar_mul(i * 104729 + 11) for i in range(8)]
+    pts_p[0] = G1Point.identity()
+    pts_q[1] = G1Point.identity()
+    pts_q[2] = pts_p[2]          # doubling
+    pts_q[3] = pts_p[3].neg()    # P + (-P) = identity
+    reps = TILE // 8
+    P3 = tuple(jnp.tile(a, (1, reps)) for a in g1_limb.points_to_limb_major(pts_p))
+    Q3 = tuple(jnp.tile(a, (1, reps)) for a in g1_limb.points_to_limb_major(pts_q))
+    out = make_fused_add()(P3, Q3)
+    got = g1_limb.points_from_limb_major(tuple(a[:, :8] for a in out))
+    composed = g1_limb.points_from_limb_major(
+        tuple(a[:, :8] for a in g1_limb._add_composed(P3, Q3))
+    )
+    host = [a.add(b) for a, b in zip(pts_p, pts_q)]
+    assert got == composed == host
