@@ -1,10 +1,13 @@
 """Benchmarks for the three BASELINE.json north-star metrics on one chip:
 
 1. ``fr_montmul_throughput_per_chip`` (headline JSON line) — BLS12-377 Fr
-   Montgomery-mul throughput of the Pallas VMEM kernel.
+   Montgomery-mul throughput of the Pallas VMEM kernel.  Timed region
+   includes a device→host fetch of the dependent result (the tunneled
+   backend's ``block_until_ready`` can ack before execution completes —
+   docs/performance.md), so the number is defensible; the raw
+   no-fetch rate is also reported in ``extra``.
 2. ``msm_points_per_sec`` — device Pippenger MSM (ops/msm_pippenger) at
-   N = 2^17, end-to-end per call (host schedule + grid transfer + device
-   accumulation + window fold), bit-checked against the native host
+   N = 2^17, end-to-end per call, bit-checked against the native host
    Pippenger, whose throughput is also reported.
 3. ``marlin_proofs_per_sec`` — ``marlin.prove`` wall time on the Schnorr
    verification circuit (the simple-payments signature workload,
@@ -18,7 +21,10 @@ arkworks CPU rate of 3e7 Fr muls/s; per-metric baselines for the extras
 (this host's native single-thread MSM, the r1 CPU prove time) live in the
 ``extra`` object of the same JSON line.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+Output protocol: the cumulative headline JSON line is (re)printed after
+EVERY leg and again from a SIGTERM handler, so an outer deadline kill
+can never erase already-measured legs — the last complete line on
+stdout is always the most complete result.
 """
 
 from __future__ import annotations
@@ -26,6 +32,7 @@ from __future__ import annotations
 import json
 import multiprocessing as mp
 import os
+import signal
 import sys
 import time
 import traceback
@@ -39,18 +46,44 @@ MSM_N = 1 << 17
 
 #: per-leg wall-clock budgets (seconds).  The tunneled TPU worker can wedge
 #: mid-dispatch (observed: a blocked h2d hangs the process forever); every
-#: leg therefore runs in its own subprocess and is killed at its deadline so
-#: the driver always gets the one-line JSON from whatever legs succeeded.
+#: leg therefore runs in its own subprocess and is killed at its deadline.
+#: Budgets sum to 25 min so the whole run fits a driver wall budget.
 LEG_TIMEOUTS = {
-    "montmul": 600,
-    "ntt": 600,
-    "msm": 1200,
-    "marlin": 2400,
+    "montmul": 180,
+    "ntt": 180,
+    "msm": 420,
+    "marlin": 720,
 }
+
+_STATE: dict = {"rate": 0.0, "extra": {}}
 
 
 def log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def emit() -> None:
+    """Print the cumulative headline JSON line (called after every leg and
+    on SIGTERM — the last complete stdout line is the round's artifact)."""
+    rate = _STATE["rate"]
+    print(
+        json.dumps(
+            {
+                "metric": "fr_montmul_throughput_per_chip",
+                "value": round(rate, 1),
+                "unit": "muls/sec",
+                "vs_baseline": round(rate / ARKWORKS_CPU_MULS_PER_SEC, 3),
+                "extra": _STATE["extra"],
+            }
+        ),
+        flush=True,
+    )
+
+
+def _on_term(signum, frame):  # noqa: ARG001
+    _STATE["extra"]["terminated_early"] = True
+    emit()
+    sys.exit(1)
 
 
 def _leg_main(fn_name: str, conn) -> None:
@@ -73,7 +106,7 @@ def run_leg(name: str, fn_name: str):
     proc = ctx.Process(target=_leg_main, args=(fn_name, child), daemon=True)
     proc.start()
     child.close()
-    timeout = LEG_TIMEOUTS.get(name, 900)
+    timeout = LEG_TIMEOUTS.get(name, 600)
     result = None
     if parent.poll(timeout):
         try:
@@ -93,9 +126,9 @@ def run_leg(name: str, fn_name: str):
     return result
 
 
-def bench_montmul() -> float:
+def bench_montmul() -> dict:
     from simpleworks_tpu.fields.bls12_377 import Fr, FR_MODULUS
-    from simpleworks_tpu.fields.pack import pack_standard
+    from simpleworks_tpu.fields.pack import pack_standard, unpack_standard
     from simpleworks_tpu.ops.mont_mul_pallas import make_mont_mul
 
     batch = 1 << 19
@@ -109,26 +142,33 @@ def bench_montmul() -> float:
     mul = make_mont_mul(Fr.PARAMS)
     out = mul(a, b)
     out.block_until_ready()
+    _ = np.asarray(out[:, :2])  # warm the d2h fetch path
     iters = 20
     start = time.perf_counter()
     with maybe_jax_profile("montmul"):
         for _ in range(iters):
             out = mul(out, b)
         out.block_until_ready()
-    rate = batch * iters / (time.perf_counter() - start)
+    raw_s = time.perf_counter() - start
+    # fetch the dependent result INSIDE the timed region: on the tunneled
+    # backend only a d2h fetch truly synchronizes (docs/performance.md), so
+    # the defensible number includes it.
+    got_np = np.asarray(out[:, :2])
+    fetch_s = time.perf_counter() - start
+    rate_fetch = batch * iters / fetch_s
+    rate_raw = batch * iters / raw_s
     # spot-verify two lanes against exact host arithmetic (guards against a
     # link/backend that acks without computing)
-    from simpleworks_tpu.fields.pack import unpack_standard
-
     rinv = pow(R, -1, FR_MODULUS)
-    got = unpack_standard(np.asarray(out[:, :2]).T, Fr.PARAMS)
+    got = unpack_standard(got_np.T, Fr.PARAMS)
     for lane in range(2):
         x = vals[lane] % FR_MODULUS
         y = vals[(lane - 1) % batch] % FR_MODULUS  # b = roll(a, 1)
         expect = x * pow(y, 21, FR_MODULUS) % FR_MODULUS
         assert got[lane] * rinv % FR_MODULUS == expect, "mont-mul lane mismatch"
-    log(f"fr mont-mul: {rate:.3e} muls/s (verified)")
-    return rate
+    log(f"fr mont-mul: {rate_fetch:.3e} muls/s fetch-inclusive "
+        f"({rate_raw:.3e} raw, verified)")
+    return {"rate": rate_fetch, "raw": rate_raw}
 
 
 def bench_ntt() -> dict:
@@ -145,11 +185,12 @@ def bench_ntt() -> dict:
     fwd = jax.jit(ntt.fft_mont)
     y = fwd(x)
     y.block_until_ready()
+    _ = np.asarray(y[:, :1])
     iters = 20
     start = time.perf_counter()
     for _ in range(iters):
         y = fwd(y)
-    y.block_until_ready()
+    _ = np.asarray(y[:, :1])  # d2h fetch = the only true sync on this link
     elapsed = (time.perf_counter() - start) / iters
     log(f"mxu ntt n={n}: {elapsed * 1e3:.2f} ms/transform ({n / elapsed:.3e} elem/s)")
     return {"mxu_ntt_n65536_ms": round(elapsed * 1e3, 3),
@@ -157,11 +198,6 @@ def bench_ntt() -> dict:
 
 
 def bench_msm() -> dict:
-    # fused single-launch Jacobian-add kernel: +10% steady-state on v5e
-    # (1.45 s -> 1.32 s at 2^17) at the cost of a minutes-long first
-    # compile, amortized by the persistent XLA cache; enabled for this leg
-    # (a dedicated subprocess), opt-in elsewhere.
-    os.environ.setdefault("SWTPU_FUSED_ADD", "1")
     from simpleworks_tpu import native
     from simpleworks_tpu.curves.bls12_377 import G1Point
     from simpleworks_tpu.fields.bls12_377 import FR_MODULUS as P
@@ -215,13 +251,16 @@ def bench_marlin_prove() -> dict:
     t0 = time.perf_counter()
     cs = synthesize(params, pk_s, message, sig)
     synth_s = time.perf_counter() - t0
+    log(f"circuit synthesized in {synth_s:.1f}s")
 
     t0 = time.perf_counter()
     srs = marlin.universal_setup(100_000, 25_000, 300_000, marlin.generate_rand())
     srs_s = time.perf_counter() - t0
+    log(f"srs in {srs_s:.1f}s")
     t0 = time.perf_counter()
     pk, vk = marlin.index(srs, cs)
     index_s = time.perf_counter() - t0
+    log(f"index in {index_s:.1f}s")
     t0 = time.perf_counter()
     proof = marlin.prove(pk, cs)
     prove_s = time.perf_counter() - t0
@@ -241,11 +280,15 @@ def bench_marlin_prove() -> dict:
 
 
 def main() -> None:
-    extra: dict = {}
-    rate = run_leg("montmul", "bench_montmul")
-    if rate is None:
+    signal.signal(signal.SIGTERM, _on_term)
+    extra = _STATE["extra"]
+    mont = run_leg("montmul", "bench_montmul")
+    if mont is None:
         extra["montmul_leg_failed"] = True
-        rate = 0.0
+    else:
+        _STATE["rate"] = mont["rate"]
+        extra["fr_montmul_raw_no_fetch"] = round(mont["raw"], 1)
+    emit()
     for name, fn_name in (
         ("ntt", "bench_ntt"),
         ("msm", "bench_msm"),
@@ -256,18 +299,7 @@ def main() -> None:
             extra.update(result)
         else:
             extra[f"{name}_leg_failed"] = True
-
-    print(
-        json.dumps(
-            {
-                "metric": "fr_montmul_throughput_per_chip",
-                "value": round(rate, 1),
-                "unit": "muls/sec",
-                "vs_baseline": round(rate / ARKWORKS_CPU_MULS_PER_SEC, 3),
-                "extra": extra,
-            }
-        )
-    )
+        emit()
 
 
 if __name__ == "__main__":
