@@ -404,6 +404,263 @@ void swtpu_g1_msm(const FpCtx* c, const G1* points, const uint64_t* scalars,
     *out = total;
 }
 
+// Jacobian + affine mixed addition (madd-2007-bl; Z2 = 1).  The affine
+// operand must not be the identity (callers check).
+static void g1_madd(const FpCtx* c, const G1* p, const uint64_t* x2,
+                    const uint64_t* y2, G1* out) {
+    if (g1_is_identity(c, p)) {
+        fp_copy(c, x2, out->x);
+        fp_copy(c, y2, out->y);
+        fp_copy(c, c->one, out->z);
+        return;
+    }
+    uint64_t z1z1[6], u2[6], s2[6], h[6], hh[6], i[6], j[6], rr[6], v[6], t[6];
+    fp_mul(c, p->z, p->z, z1z1);
+    fp_mul(c, x2, z1z1, u2);
+    fp_mul(c, y2, p->z, s2);
+    fp_mul(c, s2, z1z1, s2);
+    fp_sub(c, u2, p->x, h);
+    fp_sub(c, s2, p->y, rr);               // S2 - Y1
+    if (fp_is_zero(c, h)) {
+        if (fp_is_zero(c, rr)) { g1_double(c, p, out); return; }
+        g1_set_identity(c, out);
+        return;
+    }
+    fp_mul(c, h, h, hh);
+    fp_add(c, hh, hh, i);
+    fp_add(c, i, i, i);                    // I = 4 HH
+    fp_mul(c, h, i, j);
+    fp_add(c, rr, rr, rr);                 // r = 2 (S2 - Y1)
+    fp_mul(c, p->x, i, v);
+    G1 r;
+    fp_mul(c, rr, rr, r.x);
+    fp_sub(c, r.x, j, r.x);
+    fp_sub(c, r.x, v, r.x);
+    fp_sub(c, r.x, v, r.x);                // X3 = r^2 - J - 2V
+    fp_sub(c, v, r.x, t);
+    fp_mul(c, rr, t, r.y);
+    uint64_t yj[6];
+    fp_mul(c, p->y, j, yj);
+    fp_add(c, yj, yj, yj);
+    fp_sub(c, r.y, yj, r.y);               // Y3 = r (V - X3) - 2 Y1 J
+    fp_add(c, p->z, h, t);
+    fp_mul(c, t, t, t);
+    fp_sub(c, t, z1z1, t);
+    fp_sub(c, t, hh, r.z);                 // Z3 = (Z1 + H)^2 - Z1Z1 - HH
+    *out = r;
+}
+
+static void fq_minus_2(const FpCtx* c, uint64_t* out) {
+    unsigned char borrow = 0;
+    uint64_t two[6] = {2, 0, 0, 0, 0, 0};
+    for (int i = 0; i < c->n; ++i) {
+        u128 d = (u128)c->p[i] - two[i] - borrow;
+        out[i] = (uint64_t)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+}
+
+// Batch-normalize Jacobian points [N, 18] to affine in place: Z becomes 1
+// (Montgomery one); the identity maps to x = y = 0, z = 0.  One Montgomery
+// batched inversion per chunk.
+void swtpu_g1_normalize(const FpCtx* c, uint64_t* jac, size_t count) {
+    const int n = c->n;
+    uint64_t pm2[6];
+    fq_minus_2(c, pm2);
+    parallel_for(count, 8192, [&](size_t lo, size_t hi) {
+        size_t m = hi - lo;
+        std::vector<uint64_t> pref((m + 1) * n);
+        std::vector<uint32_t> live;
+        live.reserve(m);
+        fp_copy(c, c->one, pref.data());
+        for (size_t i = lo; i < hi; ++i) {
+            uint64_t* z = jac + i * 18 + 12;
+            if (fp_is_zero(c, z)) continue;
+            fp_mul(c, pref.data() + live.size() * n, z,
+                   pref.data() + (live.size() + 1) * n);
+            live.push_back((uint32_t)i);
+        }
+        uint64_t inv_all[6], zinv[6], zi2[6], zi3[6];
+        fp_pow(c, pref.data() + live.size() * n, pm2, n, inv_all);
+        for (size_t k = live.size(); k-- > 0;) {
+            size_t i = live[k];
+            uint64_t* pt = jac + i * 18;
+            fp_mul(c, pref.data() + k * n, inv_all, zinv);
+            fp_mul(c, inv_all, pt + 12, inv_all);
+            fp_mul(c, zinv, zinv, zi2);
+            fp_mul(c, zi2, zinv, zi3);
+            fp_mul(c, pt, zi2, pt);
+            fp_mul(c, pt + 6, zi3, pt + 6);
+            fp_copy(c, c->one, pt + 12);
+        }
+        for (size_t i = lo; i < hi; ++i) {
+            uint64_t* pt = jac + i * 18;
+            if (fp_is_zero(c, pt + 12)) {
+                fp_set_zero(c, pt);
+                fp_set_zero(c, pt + 6);
+            }
+        }
+    });
+}
+
+// Batch-affine Pippenger MSM over normalized points (Jacobian layout
+// [N, 18] with Z == 1; identity rows have x = y = 0 and are skipped).
+// Bucket accumulation runs entirely in affine coordinates: points are
+// counting-sorted by window digit, then added bucket-wise in rounds — each
+// round performs one independent affine addition per active bucket with a
+// single Montgomery batched inversion across all of them (~6 field muls
+// per point add vs ~16 for the Jacobian-add accumulator in swtpu_g1_msm).
+// Bucket combine uses mixed adds.  Identical group output to swtpu_g1_msm.
+void swtpu_g1_msm_affine(const FpCtx* c, const uint64_t* pts /*[N,18], Z==1*/,
+                         const uint64_t* scalars /*[N,4] standard form*/,
+                         size_t count, int window_bits, G1* out) {
+    const int n = c->n;
+    const int scalar_bits = 256;
+    const int num_windows = (scalar_bits + window_bits - 1) / window_bits;
+    const size_t nb = ((size_t)1 << window_bits) - 1;  // digit d -> bucket d-1
+    uint64_t pm2[6];
+    fq_minus_2(c, pm2);
+    std::vector<G1> window_sums(num_windows);
+    parallel_for((size_t)num_windows, 1, [&](size_t wlo, size_t whi) {
+        std::vector<uint16_t> dig(count);
+        std::vector<uint32_t> cnt(nb), off(nb), cursor(nb), order(count);
+        std::vector<uint64_t> bx(nb * n), by(nb * n);
+        std::vector<uint8_t> has(nb);
+        std::vector<uint32_t> active, pend_b, pend_i;
+        std::vector<uint64_t> den(nb * n), pref((nb + 1) * n), inv(nb * n);
+        active.reserve(nb);
+        pend_b.reserve(nb);
+        pend_i.reserve(nb);
+        for (size_t w = wlo; w < whi; ++w) {
+            int bit_off = (int)w * window_bits;
+            std::fill(cnt.begin(), cnt.end(), 0);
+            for (size_t i = 0; i < count; ++i) {
+                uint64_t digit = 0;
+                for (int b = 0; b < window_bits; ++b) {
+                    int bit = bit_off + b;
+                    if (bit >= scalar_bits) break;
+                    digit |= ((scalars[i * 4 + bit / 64] >> (bit % 64)) & 1) << b;
+                }
+                // identity inputs contribute nothing — drop them here
+                if (digit && (!fp_is_zero(c, pts + i * 18) ||
+                              !fp_is_zero(c, pts + i * 18 + 6)))
+                    dig[i] = (uint16_t)digit;
+                else
+                    dig[i] = 0;
+                if (dig[i]) cnt[dig[i] - 1]++;
+            }
+            uint32_t acc32 = 0;
+            for (size_t b = 0; b < nb; ++b) { off[b] = acc32; acc32 += cnt[b]; }
+            std::memcpy(cursor.data(), off.data(), nb * 4);
+            for (size_t i = 0; i < count; ++i)
+                if (dig[i]) order[cursor[dig[i] - 1]++] = (uint32_t)i;
+            std::fill(has.begin(), has.end(), 0);
+            active.clear();
+            for (size_t b = 0; b < nb; ++b)
+                if (cnt[b]) active.push_back((uint32_t)b);
+            for (uint32_t r = 0; !active.empty(); ++r) {
+                pend_b.clear();
+                pend_i.clear();
+                size_t keep = 0;
+                for (size_t a = 0; a < active.size(); ++a) {
+                    uint32_t b = active[a];
+                    uint32_t i = order[off[b] + r];
+                    const uint64_t* px = pts + (size_t)i * 18;
+                    const uint64_t* py = px + 6;
+                    if (!has[b]) {
+                        fp_copy(c, px, bx.data() + (size_t)b * n);
+                        fp_copy(c, py, by.data() + (size_t)b * n);
+                        has[b] = 1;
+                    } else {
+                        uint64_t* x1 = bx.data() + (size_t)b * n;
+                        uint64_t* y1 = by.data() + (size_t)b * n;
+                        uint64_t d[6];
+                        fp_sub(c, px, x1, d);
+                        if (fp_is_zero(c, d)) {
+                            fp_sub(c, py, y1, d);
+                            if (fp_is_zero(c, d)) {
+                                // doubling: den = 2 y1 (y1 != 0 off the
+                                // 2-torsion, which the subgroup excludes)
+                                size_t k = pend_b.size();
+                                fp_add(c, y1, y1, den.data() + k * n);
+                                pend_b.push_back(b);
+                                pend_i.push_back(i);
+                            } else {
+                                has[b] = 0;  // P + (-P): bucket to identity
+                            }
+                        } else {
+                            size_t k = pend_b.size();
+                            fp_copy(c, d, den.data() + k * n);
+                            pend_b.push_back(b);
+                            pend_i.push_back(i);
+                        }
+                    }
+                    if (cnt[b] > r + 1) active[keep++] = b;
+                }
+                active.resize(keep);
+                size_t np = pend_b.size();
+                if (!np) continue;
+                // Montgomery batched inversion of all denominators
+                fp_copy(c, c->one, pref.data());
+                for (size_t k = 0; k < np; ++k)
+                    fp_mul(c, pref.data() + k * n, den.data() + k * n,
+                           pref.data() + (k + 1) * n);
+                uint64_t inv_all[6];
+                fp_pow(c, pref.data() + np * n, pm2, n, inv_all);
+                for (size_t k = np; k-- > 0;) {
+                    fp_mul(c, pref.data() + k * n, inv_all, inv.data() + k * n);
+                    fp_mul(c, inv_all, den.data() + k * n, inv_all);
+                }
+                // apply: λ = num·den⁻¹; x3 = λ² − x1 − x2; y3 = λ(x1−x3) − y1
+                for (size_t k = 0; k < np; ++k) {
+                    uint32_t b = pend_b[k];
+                    const uint64_t* px = pts + (size_t)pend_i[k] * 18;
+                    const uint64_t* py = px + 6;
+                    uint64_t* x1 = bx.data() + (size_t)b * n;
+                    uint64_t* y1 = by.data() + (size_t)b * n;
+                    uint64_t num[6], lam[6], x3[6], t[6];
+                    uint64_t d0[6];
+                    fp_sub(c, px, x1, d0);
+                    if (fp_is_zero(c, d0)) {
+                        // doubling: num = 3 x1²
+                        fp_mul(c, x1, x1, num);
+                        fp_add(c, num, num, t);
+                        fp_add(c, t, num, num);
+                    } else {
+                        fp_sub(c, py, y1, num);
+                    }
+                    fp_mul(c, num, inv.data() + k * n, lam);
+                    fp_mul(c, lam, lam, x3);
+                    fp_sub(c, x3, x1, x3);
+                    fp_sub(c, x3, px, x3);
+                    fp_sub(c, x1, x3, t);
+                    fp_mul(c, lam, t, t);
+                    fp_sub(c, t, y1, y1);
+                    fp_copy(c, x3, x1);
+                }
+            }
+            // bucket combine (descending running sum, mixed adds)
+            G1 running, accp;
+            g1_set_identity(c, &running);
+            g1_set_identity(c, &accp);
+            for (size_t b = nb; b-- > 0;) {
+                if (has[b])
+                    g1_madd(c, &running, bx.data() + b * n, by.data() + b * n,
+                            &running);
+                g1_add(c, &accp, &running, &accp);
+            }
+            window_sums[w] = accp;
+        }
+    });
+    G1 total;
+    g1_set_identity(c, &total);
+    for (int w = num_windows - 1; w >= 0; --w) {
+        for (int d = 0; d < window_bits; ++d) g1_double(c, &total, &total);
+        g1_add(c, &total, &window_sums[w], &total);
+    }
+    *out = total;
+}
+
 // Fixed-base MSM: out[i] = scalars[i] * base, using an 8-bit window table.
 void swtpu_g1_fixed_base(const FpCtx* c, const G1* base, const uint64_t* scalars,
                          size_t count, G1* out) {

@@ -82,12 +82,16 @@ class UniversalSRS:
             return self.powers_native.shape[0]
         return len(self._powers_list)
 
-    def first_power(self) -> G1Point:
+    def power(self, i: int) -> G1Point:
+        """Single SRS power τ^i·G without materializing the Python list."""
         if self._powers_list is not None:
-            return self._powers_list[0]
+            return self._powers_list[i]
         from ..native import _points_from_native
 
-        return _points_from_native(self.powers_native[:1])[0]
+        return _points_from_native(self.powers_native[i : i + 1])[0]
+
+    def first_power(self) -> G1Point:
+        return self.power(0)
 
     @property
     def max_degree(self) -> int:
@@ -260,6 +264,9 @@ def _setup_uncached(max_degree: int, tau: int, gamma: int) -> UniversalSRS:
             powers_native = fixed_base_powers_device(g, std)
         else:
             powers_native = native.g1_fixed_base_raw(g, scalars)
+        # store Z == 1: the batch-affine MSM consumes the table directly and
+        # the disk checkpoint then round-trips pre-normalized
+        powers_native = native.g1_normalize_arr(powers_native)
         return UniversalSRS(h=h, beta_h=beta_h, powers_native=powers_native,
                             powers_of_gamma_g=gamma_powers)
     powers = [table.mul(s) for s in scalars]
@@ -290,22 +297,13 @@ def _srs_msm(srs: UniversalSRS, coeffs, offset: int = 0) -> G1Point:
             scalars_std = native.fr_from_mont_arr(vec.a)
         if srs.powers_native is not None:
             with PROVER_TIMER.region("srs_msm.native"):
-                import os
-                import time as _time
-
-                t0 = _time.perf_counter()
-                out = native.g1_msm_arr(
-                    srs.powers_native[offset : offset + n], scalars_std
+                # batch-affine accumulation (~1.8x the Jacobian path);
+                # normalization is one batched inversion, amortized across
+                # every commit/open against this SRS
+                return native.g1_msm_affine_arr(
+                    native.g1_ensure_normalized(srs.powers_native)[offset : offset + n],
+                    scalars_std,
                 )
-                if os.environ.get("SWTPU_TRACE"):
-                    import sys
-
-                    print(
-                        f"[trace] srs_msm.native n={n} offset={offset} "
-                        f"{_time.perf_counter() - t0:.2f}s",
-                        file=sys.stderr, flush=True,
-                    )
-                return out
     with PROVER_TIMER.region("srs_msm.python"):
         return msm(srs.powers_of_g[offset : offset + n], vec.to_ints())
 
@@ -367,32 +365,6 @@ def commit(srs: UniversalSRS, poly: DensePoly, degree_bound: Optional[int] = Non
     return (comm, rand) if hiding_rng is not None else comm
 
 
-def _batch_terms(labeled: list[tuple[DensePoly | None, Commitment | None, int, Optional[int]]],
-                 max_degree: int, point: int, xi: int,
-                 rands: Optional[list[Optional[Randomness]]] = None):
-    """Yield (weight, poly, comm, value, blind) tuples including shifted
-    twins, in a canonical order shared by prover and verifier.
-
-    ``labeled`` entries: (poly or None, comm or None, claimed value, bound).
-    ``rands`` (prover-side) aligns with ``labeled``; None entries mean a
-    non-hiding commitment (zero blinding).
-    """
-    weight = 1
-    for i, (poly, comm_obj, value, bound) in enumerate(labeled):
-        rand = rands[i] if rands is not None else None
-        blind = rand.blind if rand is not None else None
-        yield weight, poly, (comm_obj.comm if comm_obj else None), value, blind
-        weight = weight * xi % P
-        if bound is not None:
-            shift = max_degree - bound
-            shifted_value = pow(point, shift, P) * value % P
-            shifted_poly = poly.shift_up(shift) if poly is not None else None
-            shifted_blind = rand.shifted_blind if rand is not None else None
-            yield (weight, shifted_poly, (comm_obj.shifted_comm if comm_obj else None),
-                   shifted_value, shifted_blind)
-            weight = weight * xi % P
-
-
 def batch_open(
     srs: UniversalSRS,
     labeled: list[tuple[DensePoly, Commitment | None, int, Optional[int]]],
@@ -402,6 +374,18 @@ def batch_open(
 ) -> tuple[G1Point, int]:
     """Combined witness for all polys (and shifted twins) at ``point``.
 
+    Degree-bounded polys use ark marlin_pc's adjusted-commitment
+    formulation (ark-poly-commit 0.3 ``marlin_pc``, consumed by the
+    reference at src/marlin/mod.rs:12): the shifted twin opens
+    X^s·(p(X) − v) at ``point`` with claimed value 0, whose quotient is
+    X^s·q(X) with q = (p − v)/(X − point) — committed as an *offset* MSM
+    over the top s..s+deg(q) SRS powers, never as a densified
+    max_degree-length polynomial.  The verifier adjusts the shifted
+    commitment by −v·τ^s·G (``batch_check`` / vk shift powers).
+
+    The ξ-weight schedule (main term, then shifted term, per entry in
+    order) is canonical and shared with ``batch_check``.
+
     Returns ``(W, random_v)``: the opening witness (G- and γ-components
     summed) and the combined blinding evaluation r(point) the verifier
     needs for the hiding check (0 when nothing is hiding)."""
@@ -410,29 +394,47 @@ def batch_open(
     from .. import native
     from ..utils.observability import PROVER_TIMER
 
-    with PROVER_TIMER.region("kzg.batch_open.terms"):
-        terms = list(_batch_terms(labeled, srs.max_degree, point, xi, rands))
+    base_terms: list[tuple[int, DensePoly]] = []
+    shifted_terms: list[tuple[int, DensePoly, int]] = []  # (weight, poly, shift)
+    blind_terms: list[tuple[int, DensePoly]] = []
+    weight = 1
+    for i, (poly, _comm, value, bound) in enumerate(labeled):
+        rand = rands[i] if rands is not None else None
+        if rand is not None and not rand.blind.is_zero():
+            blind_terms.append((weight, rand.blind))
+        base_terms.append((weight, poly))
+        weight = weight * xi % P
+        if bound is not None:
+            shifted_terms.append((weight, poly, srs.max_degree - bound))
+            if (rand is not None and rand.shifted_blind is not None
+                    and not rand.shifted_blind.is_zero()):
+                blind_terms.append((weight, rand.shifted_blind))
+            weight = weight * xi % P
+
     with PROVER_TIMER.region("kzg.batch_open.combine"):
         if native.available():
-            max_len = max((len(p.vec) for _, p, _, _, _ in terms), default=0)
+            max_len = max((len(p.vec) for _, p in base_terms), default=0)
             acc = np.zeros((max(max_len, 1), 4), dtype="<u8")
-            for weight, poly, _comm, _value, _blind in terms:
+            for w, poly in base_terms:
                 if not poly.is_zero():
                     # axpy in the Montgomery domain: acc += Mont(c)·Mont(w)·R⁻¹
-                    native.fr_axpy_arr(acc, poly.vec.a, FrVec.mont_scalar(weight))
+                    native.fr_axpy_arr(acc, poly.vec.a, FrVec.mont_scalar(w))
             combined = DensePoly(FrVec(acc))
         else:
             combined = DensePoly.zero()
-            for weight, poly, _comm, _value, _blind in terms:
-                combined = combined + poly.scale(weight)
+            for w, poly in base_terms:
+                combined = combined + poly.scale(w)
         combined_blind = DensePoly.zero()
-        for weight, _poly, _comm, _value, blind in terms:
-            if blind is not None and not blind.is_zero():
-                combined_blind = combined_blind + blind.scale(weight)
+        for w, blind in blind_terms:
+            combined_blind = combined_blind + blind.scale(w)
     with PROVER_TIMER.region("kzg.batch_open.divide"):
         witness, _rem = combined.divide_by_linear(point)
     with PROVER_TIMER.region("kzg.batch_open.msm"):
         w_point = _srs_msm(srs, witness.vec) if not witness.is_zero() else G1Point.identity()
+        for w, poly, shift in shifted_terms:
+            quot, _rem = poly.divide_by_linear(point)
+            if not quot.is_zero():
+                w_point = w_point.add(_srs_msm(srs, quot.vec.scale(w), offset=shift))
     random_v = 0
     if not combined_blind.is_zero():
         random_v = combined_blind.evaluate(point)
@@ -453,14 +455,34 @@ def batch_check(
     xi: int,
     gamma_g: Optional[G1Point] = None,
     random_v: int = 0,
+    shift_powers: Optional[dict[int, G1Point]] = None,
 ) -> bool:
-    """e(C_combined - v·G - r(z)·γG, H) == e(W, βH - zH)."""
+    """e(C_combined - v·G - r(z)·γG, H) == e(W, βH - zH).
+
+    ``shift_powers`` maps each degree bound d to τ^(D−d)·G (carried in the
+    verifying key, as in ark marlin_pc): the shifted commitment is adjusted
+    to C' − v·τ^(D−d)·G and contributes claimed value 0 — the verifier
+    counterpart of ``batch_open``'s offset-quotient formulation."""
     combined_c = G1Point.identity()
     combined_v = 0
-    for weight, _poly, comm, value, _blind in _batch_terms(labeled, max_degree, point, xi):
-        ensure(comm is not None, "batch check requires every commitment")
-        combined_c = combined_c.add(comm.scalar_mul(weight))
+    weight = 1
+    for _poly, comm_obj, value, bound in labeled:
+        ensure(comm_obj is not None, "batch check requires every commitment")
+        combined_c = combined_c.add(comm_obj.comm.scalar_mul(weight))
         combined_v = (combined_v + weight * value) % P
+        weight = weight * xi % P
+        if bound is not None:
+            ensure(comm_obj.shifted_comm is not None,
+                   "degree-bounded commitment lacks its shifted part")
+            ensure(shift_powers is not None and bound in shift_powers,
+                   "degree-bound check requires the shift power in the verifying key")
+            adjusted = comm_obj.shifted_comm
+            if value % P:
+                adjusted = adjusted.add(
+                    shift_powers[bound].scalar_mul(value % P).neg()
+                )
+            combined_c = combined_c.add(adjusted.scalar_mul(weight))
+            weight = weight * xi % P
     lhs = combined_c.add(srs_g.scalar_mul(combined_v).neg())
     if random_v % P:
         ensure(gamma_g is not None, "hiding check requires γG in the verifying key")

@@ -33,7 +33,11 @@ from .fiat_shamir import FiatShamirRng
 
 P = FR_MODULUS
 
-PROTOCOL_NAME = b"SIMPLEWORKS-TPU-MARLIN-2026"
+#: ark-marlin's protocol label (Marlin::PROTOCOL_NAME, consumed by the
+#: reference's fork via src/marlin/mod.rs:14); the Fiat-Shamir rng is
+#: initialized from to_bytes![PROTOCOL_NAME, index_vk, public_input] as in
+#: ark-marlin's prove/verify.
+PROTOCOL_NAME = b"MARLIN-2019"
 
 #: canonical query orderings shared by prover and verifier
 BETA_POLYS = ["w", "z_a", "z_b", "mask", "t", "g_1", "h_1"]
@@ -55,18 +59,29 @@ class IndexVerifierKey:
     beta_h: G2Point
     srs_max_degree: int
     gamma_g: Optional[G1Point] = None  # hiding-check generator γG
+    #: τ^(D−d)·G per degree bound d (ark marlin_pc's
+    #: degree_bounds_and_shift_powers) — the verifier's adjusted-commitment
+    #: check for g_1/g_2 needs them
+    shift_powers: Optional[dict[int, G1Point]] = None
 
-    def digest(self) -> bytes:
-        data = b"".join(
-            self.index_commitments[name].serialize() for name in INDEX_POLYS
-        )
+    def transcript_bytes(self) -> bytes:
+        """The vk's Fiat-Shamir contribution, mirroring ark-marlin's
+        ``ToBytes for IndexVerifierKey`` shape: index info (u64 LE fields)
+        followed by the nine index commitments in indexer-polynomial order
+        (a_row..c_val)."""
         meta = (
             self.info.domain_h_size.to_bytes(8, "little")
             + self.info.domain_k_size.to_bytes(8, "little")
             + self.info.num_instance_padded.to_bytes(8, "little")
             + self.srs_max_degree.to_bytes(8, "little")
         )
-        return blake2s_digest(data + meta)
+        data = b"".join(
+            self.index_commitments[name].serialize() for name in INDEX_POLYS
+        )
+        return meta + data
+
+    def digest(self) -> bytes:
+        return blake2s_digest(self.transcript_bytes())
 
 
 @dataclass
@@ -146,6 +161,7 @@ def index(srs: UniversalSRS, cs) -> tuple[IndexProverKey, IndexVerifierKey]:
         commitments[f"row_{name}"] = kzg10.commit(srs, mat.row_poly)
         commitments[f"col_{name}"] = kzg10.commit(srs, mat.col_poly)
         commitments[f"val_{name}"] = kzg10.commit(srs, mat.val_poly)
+    bounds = (idx.info.domain_h_size - 2, idx.info.domain_k_size - 2)
     vk = IndexVerifierKey(
         info=idx.info,
         index_commitments=commitments,
@@ -154,6 +170,7 @@ def index(srs: UniversalSRS, cs) -> tuple[IndexProverKey, IndexVerifierKey]:
         beta_h=srs.beta_h,
         srs_max_degree=srs.max_degree,
         gamma_g=srs.gamma_g if srs.powers_of_gamma_g else None,
+        shift_powers={b: srs.power(srs.max_degree - b) for b in sorted(set(bounds))},
     )
     result = (IndexProverKey(index=idx, srs=srs, vk=vk), vk)
     if len(_INDEX_MEMO) >= _INDEX_MEMO_MAX:
@@ -193,7 +210,8 @@ def prove(pk: IndexProverKey, cs, rng=None) -> MarlinProof:
     bounds = _degree_bounds(info)
 
     fs = FiatShamirRng(
-        PROTOCOL_NAME + pk.vk.digest() + _serialize_instance(cs.instance_assignment)
+        PROTOCOL_NAME + pk.vk.transcript_bytes()
+        + _serialize_instance(cs.instance_assignment)
     )
 
     zk_rands = tuple(Fr.rand(rng).value for _ in range(3))
@@ -290,7 +308,7 @@ def verify(vk: IndexVerifierKey, public_inputs: list[int], proof: MarlinProof, r
         return False
     bounds = _degree_bounds(info)
 
-    fs = FiatShamirRng(PROTOCOL_NAME + vk.digest() + _serialize_instance(instance))
+    fs = FiatShamirRng(PROTOCOL_NAME + vk.transcript_bytes() + _serialize_instance(instance))
     comms = proof.commitments
     try:
         fs.absorb(b"".join(comms[n].serialize() for n in ["w", "z_a", "z_b", "mask"]))
@@ -317,12 +335,12 @@ def verify(vk: IndexVerifierKey, public_inputs: list[int], proof: MarlinProof, r
     gamma_batch = [(None, all_comms[n], evals[n], bounds[n]) for n in GAMMA_POLYS]
     if not kzg10.batch_check(
         vk.g, vk.h, vk.beta_h, vk.srs_max_degree, beta_batch, beta, proof.pc_proof_beta, xi,
-        gamma_g=vk.gamma_g, random_v=proof.pc_rand_beta,
+        gamma_g=vk.gamma_g, random_v=proof.pc_rand_beta, shift_powers=vk.shift_powers,
     ):
         return False
     if not kzg10.batch_check(
         vk.g, vk.h, vk.beta_h, vk.srs_max_degree, gamma_batch, gamma, proof.pc_proof_gamma, xi,
-        gamma_g=vk.gamma_g, random_v=proof.pc_rand_gamma,
+        gamma_g=vk.gamma_g, random_v=proof.pc_rand_gamma, shift_powers=vk.shift_powers,
     ):
         return False
     return True

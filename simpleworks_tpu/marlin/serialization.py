@@ -100,6 +100,11 @@ def serialize_verifying_key(vk: IndexVerifierKey) -> bytes:
     out += b"\x01" if vk.gamma_g is not None else b"\x00"
     if vk.gamma_g is not None:
         out += vk.gamma_g.serialize_compressed()
+    shift_powers = vk.shift_powers or {}
+    out += struct.pack("<Q", len(shift_powers))
+    for bound in sorted(shift_powers):
+        out += struct.pack("<Q", bound)
+        out += shift_powers[bound].serialize_compressed()
     return bytes(out)
 
 
@@ -121,6 +126,16 @@ def deserialize_verifying_key(data: bytes) -> IndexVerifierKey:
         off += 49
     else:
         off += 1
+    shift_powers = None
+    if off < len(data):
+        (n_shift,) = struct.unpack_from("<Q", data, off)
+        off += 8
+        shift_powers = {}
+        for _ in range(n_shift):
+            (bound,) = struct.unpack_from("<Q", data, off)
+            off += 8
+            shift_powers[bound] = G1Point.deserialize_compressed(data[off : off + 48])
+            off += 48
     info = IndexInfo(
         num_instance_padded=ell,
         num_instance=num_instance,
@@ -136,6 +151,7 @@ def deserialize_verifying_key(data: bytes) -> IndexVerifierKey:
         beta_h=beta_h,
         srs_max_degree=srs_max,
         gamma_g=gamma_g,
+        shift_powers=shift_powers,
     )
 
 

@@ -44,6 +44,8 @@ def _lib():
     lib.swtpu_ntt.argtypes = [ctxp, u64p, ctypes.c_size_t, u64p]
     lib.swtpu_scale.argtypes = [ctxp, u64p, ctypes.c_size_t, u64p]
     lib.swtpu_g1_msm.argtypes = [ctxp, u64p, u64p, ctypes.c_size_t, ctypes.c_int, u64p]
+    lib.swtpu_g1_msm_affine.argtypes = [ctxp, u64p, u64p, ctypes.c_size_t, ctypes.c_int, u64p]
+    lib.swtpu_g1_normalize.argtypes = [ctxp, u64p, ctypes.c_size_t]
     lib.swtpu_g1_fixed_base.argtypes = [ctxp, u64p, u64p, ctypes.c_size_t, u64p]
     lib.swtpu_g1_add_batch.argtypes = [ctxp, u64p, u64p, u64p, ctypes.c_size_t]
     return lib
@@ -238,6 +240,51 @@ def g1_msm_raw(points_native: np.ndarray, scalars: list[int],
     scs = ints_to_limbs64([int(s) for s in scalars], 4)
     out = np.zeros((1, 18), dtype="<u8")
     lib.swtpu_g1_msm(
+        ctypes.byref(ctx), _u64p(pts), _u64p(scs), pts.shape[0], window_bits, _u64p(out)
+    )
+    return _points_from_native(out)[0]
+
+
+def g1_normalize_arr(points_native: np.ndarray) -> np.ndarray:
+    """Batch-normalize a [N, 18] Jacobian Montgomery array to Z == 1 in
+    place (identity rows become x = y = z = 0); returns the same array.
+    One Montgomery batched inversion — the precondition for
+    ``g1_msm_affine_arr``."""
+    lib = _require_lib()
+    ctx = _ctx_for("fq")
+    pts = np.ascontiguousarray(points_native, dtype="<u8")
+    lib.swtpu_g1_normalize(ctypes.byref(ctx), _u64p(pts), pts.shape[0])
+    return pts
+
+
+def g1_ensure_normalized(points_native: np.ndarray) -> np.ndarray:
+    """Normalize a [N, 18] Jacobian array to Z == 1 unless it already is
+    (cheap vectorized check — SRS tables loaded from pre-normalized disk
+    checkpoints skip the inversion)."""
+    from ..fields.bls12_377 import Fq, FQ_MODULUS
+
+    one = ints_to_limbs64([Fq.PARAMS.montgomery_r % FQ_MODULUS], 6)[0]
+    z = points_native[:, 12:18]
+    if np.array_equal(z, np.broadcast_to(one, z.shape)):
+        return points_native
+    return g1_normalize_arr(points_native)
+
+
+def g1_msm_affine_arr(points_native: np.ndarray, scalars_std: np.ndarray,
+                      window_bits: int | None = None):
+    """Batch-affine Pippenger MSM over a *normalized* [N, 18] point array
+    (Z == 1, see :func:`g1_normalize_arr`) and standard-form scalar limbs
+    [N, 4].  Bucket accumulation runs in affine coordinates with one
+    batched inversion per round (~6 field muls per point add vs ~16 on the
+    Jacobian path) — identical group output to :func:`g1_msm_arr`."""
+    lib = _require_lib()
+    ctx = _ctx_for("fq")
+    if window_bits is None:
+        window_bits = _msm_window_bits(points_native.shape[0])
+    pts = np.ascontiguousarray(points_native, dtype="<u8")
+    scs = np.ascontiguousarray(scalars_std, dtype="<u8")
+    out = np.zeros((1, 18), dtype="<u8")
+    lib.swtpu_g1_msm_affine(
         ctypes.byref(ctx), _u64p(pts), _u64p(scs), pts.shape[0], window_bits, _u64p(out)
     )
     return _points_from_native(out)[0]

@@ -101,11 +101,5 @@ class DensePoly:
         v = evals if isinstance(evals, FrVec) else FrVec.from_ints(list(evals))
         return DensePoly(domain.ifft_vec(v.pad_to(domain.size)))
 
-    def shift_up(self, k: int) -> "DensePoly":
-        """X^k · p(X) (degree-bound shift for MarlinKZG)."""
-        if self.is_zero():
-            return self
-        return DensePoly(FrVec.concat([FrVec.zeros(k), self.vec]))
-
     def __repr__(self):
         return f"DensePoly(deg={self.degree()})"

@@ -131,9 +131,15 @@ def test_fixed_base_powers_device_matches_native():
 
 
 def test_fused_add_matches_composed_and_host(monkeypatch):
-    """The single-launch fused Jacobian-add kernel (ops/g1_fused_pallas,
-    interpret mode off-TPU) is bit-exact with the composed path and the
-    host oracle, including identity/double/inverse edge cases."""
+    """The single-launch fused Jacobian-add kernel (ops/g1_fused_pallas) is
+    bit-exact with the composed path and the host oracle, including
+    identity/double/inverse edge cases.  TPU-only: the Pallas-interpreter
+    fallback's XLA CPU compile of the unrolled limb body is unbounded in
+    practice (>9 min, >11 GB on a 2-vCPU host)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("fused-add kernel compile is impractical off-TPU")
     import jax.numpy as jnp
 
     from simpleworks_tpu.ops.g1_fused_pallas import TILE, make_fused_add

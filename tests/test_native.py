@@ -77,3 +77,34 @@ def test_native_msm_raw_matches():
     pts_native = native._points_to_native(points)
     got = native.g1_msm_raw(pts_native, scalars)
     assert got == msm(points, scalars)
+
+
+def test_native_msm_affine_matches_jacobian():
+    """Batch-affine Pippenger (bucket adds in affine coordinates with one
+    batched inversion per round) == Jacobian Pippenger == Python oracle,
+    across window sizes, including zero/unit scalars, duplicate points
+    (bucket doublings) and identity rows."""
+    import numpy as np
+
+    from simpleworks_tpu.fields.frvec import FrVec
+
+    g = G1Point.generator()
+    n = 200
+    points = [g.scalar_mul(i + 2) for i in range(n)]
+    points[5] = points[4]                      # duplicate -> bucket doubling
+    scalars = [rnd.randrange(FR_MODULUS) for _ in range(n)]
+    scalars[0] = 0
+    scalars[1] = 1
+    scalars[3] = scalars[2]
+    pts = native._points_to_native(points)
+    norm = native.g1_ensure_normalized(pts.copy())
+    norm[7] = 0                                # identity row
+    jac = norm.copy()                          # Z==1 is valid Jacobian input
+    std = FrVec.from_ints(scalars).to_std_array()
+    for wb in (2, 8, 13):
+        a = native.g1_msm_arr(jac, std, window_bits=wb)
+        b = native.g1_msm_affine_arr(norm, std, window_bits=wb)
+        assert a == b, wb
+    # normalization is detected and skipped on an already-normalized table
+    again = native.g1_ensure_normalized(norm)
+    assert again is norm

@@ -16,6 +16,11 @@ from simpleworks_tpu.parallel.ntt_sharded import sharded_ntt_host
 from simpleworks_tpu.parallel.witness_dp import sharded_check_host
 from simpleworks_tpu.poly.domain import Radix2Domain
 
+#: shard_map programs over the virtual 8-device mesh compile for minutes on
+#: a 2-vCPU XLA CPU backend — run as a dedicated CI job (pytest -m mesh),
+#: not in the default fast suite
+pytestmark = pytest.mark.mesh
+
 
 @pytest.fixture(scope="module")
 def mesh():
