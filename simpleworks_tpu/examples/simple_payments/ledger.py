@@ -105,6 +105,74 @@ class State:
         self.account_merkle_tree.update(acc_id.value, info.to_bytes_le())
         return True
 
+    def validate_block(self, pp: Parameters, txs, mesh=None,
+                       axis_name: Optional[str] = None) -> list[bool]:
+        """Batch-validate a block of transactions — the DP axis applied to
+        its SURVEY §2.4 oracle workload (the reference validates one tx at
+        a time, ledger.rs:176-193; this vectorizes the block).
+
+        Host side: the stateless checks per tx (sender exists, Merkle
+        path, balance, recipient) plus the native Schnorr verify —
+        mirroring ``Transaction::verify_signature``'s dual check.  Mesh
+        side: the in-circuit Schnorr verification of EVERY transaction in
+        the block runs as ONE data-parallel satisfiability batch
+        (:func:`simpleworks_tpu.parallel.witness_dp.sharded_check_host`) —
+        one circuit structure, per-tx witness assignments sharded across
+        devices, failure count psum-reduced.  Does not mutate state."""
+        from ...fields.bls12_377 import ConstraintF
+        from ...parallel import default_mesh
+        from ...parallel.witness_dp import sharded_check_host
+        from ...r1cs.constraint_system import ConstraintSystem
+        from ..schnorr_circuit import SimpleSchnorrSignatureVerification
+        from .transaction import Transaction
+
+        if mesh is None:
+            mesh = default_mesh()
+        if axis_name is None:
+            axis_name = mesh.axis_names[0]
+
+        host_ok: list[bool] = []
+        assignments = []
+        circuit_rows: list[int] = []  # tx index of each batched assignment
+        cs0 = None
+        for i, tx in enumerate(txs):
+            sender_info = self.id_to_account_info.get(tx.sender)
+            if sender_info is None:
+                host_ok.append(False)
+                continue
+            ok = True
+            path = self.account_merkle_tree.generate_proof(tx.sender.value)
+            ok &= path.verify(
+                pp.leaf_crh_params, pp.two_to_one_crh_params,
+                self.account_merkle_tree.root(), sender_info.to_bytes_le(),
+            )
+            message = Transaction._message(tx.sender, tx.recipient, tx.amount)
+            ok &= schnorr.verify(
+                pp.sig_params, sender_info.public_key, message, tx.signature
+            )
+            ok &= tx.amount <= sender_info.balance
+            ok &= self.id_to_account_info.get(tx.recipient) is not None
+            host_ok.append(bool(ok))
+            # every well-formed tx joins the DP satisfiability batch (same
+            # circuit structure — pk/message/signature are all witnesses)
+            cs = ConstraintSystem(ConstraintF)
+            SimpleSchnorrSignatureVerification(
+                parameters=pp.sig_params,
+                public_key=sender_info.public_key,
+                message=message,
+                signature=tx.signature,
+            ).generate_constraints(cs)
+            if cs0 is None:
+                cs0 = cs
+            assignments.append(cs.full_assignment())
+            circuit_rows.append(i)
+
+        if cs0 is not None:
+            sat = sharded_check_host(mesh, axis_name, cs0, assignments)
+            for row, ok in zip(circuit_rows, sat):
+                host_ok[row] = host_ok[row] and bool(ok)
+        return host_ok
+
     def apply_transaction(self, pp: Parameters, tx, rng) -> Optional[bool]:
         """reference ledger.rs:176-193."""
         if not tx.validate(pp, self, rng):

@@ -99,11 +99,15 @@ class UniversalSRS:
 
     def device_powers(self):
         """SRS G1 powers as device-resident limb-major arrays (([24, N],)*3,
-        uploaded once and cached — the device Pippenger commit path)."""
+        uploaded once and cached — the device Pippenger commit path).
+        Normalized to the affine invariant first (mixed-add accumulate)."""
         if getattr(self, "_device_powers", None) is None:
+            from .. import native
             from ..ops.g1_limb import native_points_to_limb_major
 
-            self._device_powers = native_points_to_limb_major(self.powers_native)
+            self._device_powers = native_points_to_limb_major(
+                native.g1_ensure_normalized(self.powers_native)
+            )
         return self._device_powers
 
 
@@ -285,6 +289,16 @@ def _srs_msm(srs: UniversalSRS, coeffs, offset: int = 0) -> G1Point:
     from ..ops import accel
     from ..utils.observability import PROVER_TIMER
 
+    if srs.powers_native is not None and accel.use_sharded_msm(n):
+        mesh_axis = accel.prover_mesh()
+        if mesh_axis is not None:
+            from ..parallel.msm_sharded import sharded_msm_native
+
+            with PROVER_TIMER.region("srs_msm.sharded"):
+                return sharded_msm_native(
+                    mesh_axis[0], mesh_axis[1], srs.powers_native,
+                    vec.to_std_array(), offset=offset,
+                )
     if srs.powers_native is not None and accel.use_device_msm(n):
         from ..ops import msm_pippenger
 

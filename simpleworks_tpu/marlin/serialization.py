@@ -1,14 +1,23 @@
 """Byte serialization for Marlin proofs and keys
 (reference ``src/marlin/serialization.rs``: serialize_proof/verifying_key/
-proving_key + deserialize twins).
+proving_key + deserialize twins — thin wrappers over arkworks
+``CanonicalSerialize`` on the ark-marlin containers).
 
-Format (little-endian, framework-defined — arkworks byte-compatibility is a
-planned extension since our transcripts already differ):
+The container layout here follows ark-marlin 0.3's ``Proof`` /
+``IndexVerifierKey`` CanonicalSerialize shape — ordered struct fields,
+``Vec<T>`` as u64 LE length + elements, ``Option<T>`` as a 1-byte tag —
+over primitives that are already arkworks byte-layout (compressed points,
+32-byte LE field elements):
 
-* Commitment: 48B compressed G1 | 1B has_shifted | [48B shifted]
-* Proof: 9 round commitments (canonical order) | 18 evaluations (32B Fr)
-         | 2 opening witnesses (48B) | 2 blinding evaluations (32B Fr)
-* VerifyingKey: info (5×u64) | 9 index commitments | g | h | beta_h | γG
+* Proof: commitments ``Vec<Vec<Commitment>>`` (3 rounds: [w,z_a,z_b,mask],
+  [t,g_1,h_1], [g_2,h_2]) | evaluations ``Vec<Fr>`` | prover_messages
+  ``Vec<ProverMsg>`` (3 × EmptyMessage = variant byte 0) | pc_proof
+  ``BatchLCProof``: ``Vec<kzg10::Proof>`` ([β, γ]; each w + Option
+  random_v) + ``Option<Vec<Fr>>`` evals (None).
+* Commitment (marlin_pc): 48B compressed comm | Option shifted_comm.
+* VerifyingKey: index info (u64s) | index commitments ``Vec`` | g | γG
+  option | h | beta_h | degree_bounds_and_shift_powers option-vec |
+  srs max_degree.
 """
 
 from __future__ import annotations
@@ -16,6 +25,7 @@ from __future__ import annotations
 import struct
 
 from ..curves.bls12_377 import G1Point, G2Point
+from ..errors import ensure
 from ..fields.bls12_377 import Fr
 from ..kzg.kzg10 import Commitment
 from . import (
@@ -27,7 +37,9 @@ from . import (
 )
 from .ahp import IndexInfo
 
-ROUND_COMMS = ["w", "z_a", "z_b", "mask", "t", "g_1", "h_1", "g_2", "h_2"]
+#: ark-marlin's per-round commitment grouping (Proof.commitments)
+ROUND_GROUPS = [["w", "z_a", "z_b", "mask"], ["t", "g_1", "h_1"], ["g_2", "h_2"]]
+ROUND_COMMS = [n for group in ROUND_GROUPS for n in group]
 ALL_EVALS = BETA_POLYS + GAMMA_POLYS
 
 
@@ -45,89 +57,129 @@ def _read_commitment(data: bytes, off: int) -> tuple[Commitment, int]:
 
 def serialize_proof(proof: MarlinProof) -> bytes:
     out = bytearray()
-    for name in ROUND_COMMS:
-        out += proof.commitments[name].serialize()
+    out += struct.pack("<Q", len(ROUND_GROUPS))
+    for group in ROUND_GROUPS:
+        out += struct.pack("<Q", len(group))
+        for name in group:
+            out += proof.commitments[name].serialize()
+    out += struct.pack("<Q", len(ALL_EVALS))
     for name in ALL_EVALS:
         out += Fr(proof.evaluations[name]).serialize()
-    out += proof.pc_proof_beta.serialize_compressed()
-    out += proof.pc_proof_gamma.serialize_compressed()
-    out += Fr(proof.pc_rand_beta).serialize()
-    out += Fr(proof.pc_rand_gamma).serialize()
+    # prover_messages: 3 × ProverMsg::EmptyMessage (variant byte 0)
+    out += struct.pack("<Q", 3) + b"\x00\x00\x00"
+    # pc_proof: BatchLCProof { proof: Vec<kzg10::Proof>, evals: None }
+    out += struct.pack("<Q", 2)
+    for w, rand in ((proof.pc_proof_beta, proof.pc_rand_beta),
+                    (proof.pc_proof_gamma, proof.pc_rand_gamma)):
+        out += w.serialize_compressed()
+        out += b"\x01" + Fr(rand).serialize()  # Option random_v (hiding on)
+    out += b"\x00"  # evals: Option::None
     return bytes(out)
 
 
 def deserialize_proof(data: bytes) -> MarlinProof:
     off = 0
+    (n_rounds,) = struct.unpack_from("<Q", data, off)
+    off += 8
+    ensure(n_rounds == len(ROUND_GROUPS), "unexpected round-commitment count")
     commitments = {}
-    for name in ROUND_COMMS:
-        commitments[name], off = _read_commitment(data, off)
+    for group in ROUND_GROUPS:
+        (n_comms,) = struct.unpack_from("<Q", data, off)
+        off += 8
+        ensure(n_comms == len(group), "unexpected commitment count in round")
+        for name in group:
+            commitments[name], off = _read_commitment(data, off)
+    (n_evals,) = struct.unpack_from("<Q", data, off)
+    off += 8
+    ensure(n_evals == len(ALL_EVALS), "unexpected evaluation count")
     evaluations = {}
     for name in ALL_EVALS:
         evaluations[name] = Fr.deserialize(data[off : off + 32]).value
         off += 32
-    pc_beta = G1Point.deserialize_compressed(data[off : off + 48])
-    off += 48
-    pc_gamma = G1Point.deserialize_compressed(data[off : off + 48])
-    off += 48
-    rand_beta = Fr.deserialize(data[off : off + 32]).value
-    off += 32
-    rand_gamma = Fr.deserialize(data[off : off + 32]).value
+    (n_msgs,) = struct.unpack_from("<Q", data, off)
+    off += 8 + n_msgs  # EmptyMessage variant bytes
+    (n_pc,) = struct.unpack_from("<Q", data, off)
+    off += 8
+    ensure(n_pc == 2, "expected two opening proofs (beta, gamma)")
+    witnesses = []
+    rands = []
+    for _ in range(2):
+        witnesses.append(G1Point.deserialize_compressed(data[off : off + 48]))
+        off += 48
+        has_rand = data[off]
+        off += 1
+        if has_rand:
+            rands.append(Fr.deserialize(data[off : off + 32]).value)
+            off += 32
+        else:
+            rands.append(0)
     return MarlinProof(
         commitments=commitments,
         evaluations=evaluations,
-        pc_proof_beta=pc_beta,
-        pc_proof_gamma=pc_gamma,
-        pc_rand_beta=rand_beta,
-        pc_rand_gamma=rand_gamma,
+        pc_proof_beta=witnesses[0],
+        pc_proof_gamma=witnesses[1],
+        pc_rand_beta=rands[0],
+        pc_rand_gamma=rands[1],
     )
 
 
 def serialize_verifying_key(vk: IndexVerifierKey) -> bytes:
+    """ark-marlin IndexVerifierKey field order: index info (u64s), the
+    Vec of index commitments (indexer-polynomial order), then the
+    marlin_pc VerifierKey fields (g, γG, h, βH,
+    degree_bounds_and_shift_powers, max_degree)."""
     out = bytearray()
     out += struct.pack(
-        "<5Q",
+        "<4Q",
         vk.info.num_instance_padded,
         vk.info.num_instance,
         vk.info.domain_h_size,
         vk.info.domain_k_size,
-        vk.srs_max_degree,
     )
+    out += struct.pack("<Q", len(INDEX_POLYS))
     for name in INDEX_POLYS:
         out += vk.index_commitments[name].serialize()
     out += vk.g.serialize_compressed()
-    out += vk.h.serialize_compressed()
-    out += vk.beta_h.serialize_compressed()
     out += b"\x01" if vk.gamma_g is not None else b"\x00"
     if vk.gamma_g is not None:
         out += vk.gamma_g.serialize_compressed()
+    out += vk.h.serialize_compressed()
+    out += vk.beta_h.serialize_compressed()
     shift_powers = vk.shift_powers or {}
-    out += struct.pack("<Q", len(shift_powers))
-    for bound in sorted(shift_powers):
-        out += struct.pack("<Q", bound)
-        out += shift_powers[bound].serialize_compressed()
+    out += b"\x01" if shift_powers else b"\x00"
+    if shift_powers:
+        out += struct.pack("<Q", len(shift_powers))
+        for bound in sorted(shift_powers):
+            out += struct.pack("<Q", bound)
+            out += shift_powers[bound].serialize_compressed()
+    out += struct.pack("<Q", vk.srs_max_degree)
     return bytes(out)
 
 
 def deserialize_verifying_key(data: bytes) -> IndexVerifierKey:
-    ell, num_instance, n, m, srs_max = struct.unpack_from("<5Q", data, 0)
-    off = 40
+    ell, num_instance, n, m = struct.unpack_from("<4Q", data, 0)
+    off = 32
+    (n_comms,) = struct.unpack_from("<Q", data, off)
+    off += 8
+    ensure(n_comms == len(INDEX_POLYS), "unexpected index-commitment count")
     commitments = {}
     for name in INDEX_POLYS:
         commitments[name], off = _read_commitment(data, off)
     g = G1Point.deserialize_compressed(data[off : off + 48])
     off += 48
-    h = G2Point.deserialize_compressed(data[off : off + 96])
-    off += 96
-    beta_h = G2Point.deserialize_compressed(data[off : off + 96])
-    off += 96
     gamma_g = None
-    if off < len(data) and data[off]:
+    if data[off]:
         gamma_g = G1Point.deserialize_compressed(data[off + 1 : off + 49])
         off += 49
     else:
         off += 1
+    h = G2Point.deserialize_compressed(data[off : off + 96])
+    off += 96
+    beta_h = G2Point.deserialize_compressed(data[off : off + 96])
+    off += 96
     shift_powers = None
-    if off < len(data):
+    if data[off]:
+        off += 1
         (n_shift,) = struct.unpack_from("<Q", data, off)
         off += 8
         shift_powers = {}
@@ -136,6 +188,10 @@ def deserialize_verifying_key(data: bytes) -> IndexVerifierKey:
             off += 8
             shift_powers[bound] = G1Point.deserialize_compressed(data[off : off + 48])
             off += 48
+    else:
+        off += 1
+    (srs_max,) = struct.unpack_from("<Q", data, off)
+    off += 8
     info = IndexInfo(
         num_instance_padded=ell,
         num_instance=num_instance,

@@ -122,6 +122,62 @@ def use_device_fixed_base(n: int) -> bool:
     return _forced() or link_bandwidth_mbps() >= FIXED_BASE_MIN_LINK_MBPS
 
 
+#: sharded-prover routing (SURVEY.md §2.4 / §7 PR7): when a mesh is
+#: configured, marlin.prove routes large NTTs through the 4-step sharded
+#: NTT and commit/open MSMs through the sharded Pippenger.  Enable with
+#: ``SWTPU_MESH=N`` (shard over the first N devices; 0/unset = off) or by
+#: setting ``config.FrameworkConfig.mesh_devices``.  Routing is
+#: proof-invisible (tests/test_parallel.py::test_prove_bytes_1_vs_8).
+SHARDED_NTT_THRESHOLD = int(os.environ.get("SWTPU_SHARDED_NTT_THRESHOLD", 1 << 14))
+SHARDED_MSM_THRESHOLD = int(os.environ.get("SWTPU_SHARDED_MSM_THRESHOLD", 1 << 16))
+
+_PROVER_MESH_OVERRIDE: "list | None" = None  # [mesh, axis] or None (tests)
+
+
+def set_prover_mesh(mesh, axis_name: str) -> None:
+    """Force sharded-prover routing onto ``mesh`` (None mesh clears)."""
+    global _PROVER_MESH_OVERRIDE
+    _PROVER_MESH_OVERRIDE = None if mesh is None else [mesh, axis_name]
+
+
+@lru_cache(maxsize=1)
+def _env_mesh():
+    n = int(os.environ.get("SWTPU_MESH", "0") or 0)
+    if not n:
+        from ..config import DEFAULT_CONFIG
+
+        n = DEFAULT_CONFIG.mesh_devices or 0
+    if n <= 1:
+        return None
+    try:
+        import jax
+        from jax.sharding import Mesh
+
+        from ..config import DEFAULT_CONFIG
+
+        devices = jax.devices()
+        if len(devices) < n:
+            return None
+        return Mesh(devices[:n], (DEFAULT_CONFIG.mesh_axis,)), DEFAULT_CONFIG.mesh_axis
+    except Exception:
+        return None
+
+
+def prover_mesh():
+    """-> (Mesh, axis_name) when sharded proving is configured, else None."""
+    if _PROVER_MESH_OVERRIDE is not None:
+        return tuple(_PROVER_MESH_OVERRIDE)
+    return _env_mesh()
+
+
+def use_sharded_ntt(n: int) -> bool:
+    return n >= SHARDED_NTT_THRESHOLD and prover_mesh() is not None
+
+
+def use_sharded_msm(n: int) -> bool:
+    return n >= SHARDED_MSM_THRESHOLD and prover_mesh() is not None
+
+
 _CACHE_ENABLED = False
 
 

@@ -215,6 +215,50 @@ def add(p, q):
     return _add_composed(p, q)
 
 
+def madd(p, q_affine):
+    """Complete mixed addition: Jacobian ``p`` + affine ``q = (X2, Y2)``
+    (madd-2007-bl, Z2 = 1; x = y = 0 encodes the affine identity — (0, ±1)
+    is the only on-curve x=0 point and it is outside the prime subgroup).
+
+    The bucket-accumulate step of the MSM: SRS tables are normalized to
+    Z = 1 (kzg10 setup/load), so each gathered point is 2 coordinates
+    instead of 3 (−33% gather bytes) and the general add is 11 muls
+    instead of 16."""
+    f = fq_limb()
+    X1, Y1, Z1 = p
+    X2, Y2 = q_affine
+    Z1Z1 = f.mul(Z1, Z1)
+    U2 = f.mul(X2, Z1Z1)
+    S2 = f.mul(f.mul(Y2, Z1), Z1Z1)
+    H = f.sub(U2, X1)
+    rr = f.sub(S2, Y1)
+    HH = f.mul(H, H)
+    I = f.add(f.add(HH, HH), f.add(HH, HH))
+    J = f.mul(H, I)
+    r2 = f.add(rr, rr)
+    V = f.mul(X1, I)
+    X3 = f.sub(f.sub(f.mul(r2, r2), J), f.add(V, V))
+    YJ = f.mul(Y1, J)
+    Y3 = f.sub(f.mul(r2, f.sub(V, X3)), f.add(YJ, YJ))
+    Zsum = f.add(Z1, H)
+    Z3 = f.sub(f.sub(f.mul(Zsum, Zsum), Z1Z1), HH)
+    general = (X3, Y3, Z3)
+
+    h_zero = f.is_zero(H)
+    r_zero = f.is_zero(rr)
+    p_ident = f.is_zero(Z1)
+    q_ident = f.is_zero(X2) & f.is_zero(Y2)
+    dbl = double(p)
+    B = X3.shape[1]
+    one = jnp.broadcast_to(jnp.asarray(fq_limb().one_np), (L, B))
+
+    out = select_point(h_zero & r_zero & ~p_ident & ~q_ident, dbl, general)
+    out = select_point(h_zero & ~r_zero & ~p_ident & ~q_ident, identity(B), out)
+    out = select_point(p_ident, (X2, Y2, one), out)
+    out = select_point(q_ident, p, out)
+    return out
+
+
 def _add_composed(p, q):
     f = fq_limb()
     X1, Y1, Z1 = p
@@ -257,7 +301,9 @@ def _add_composed(p, q):
 
 
 def points_to_limb_major(points) -> tuple:
-    """Host G1Points -> ([24, N],)*3 device arrays (Montgomery form)."""
+    """Host G1Points -> ([24, N],)*3 device arrays (Montgomery form),
+    Jacobian coordinates preserved byte-for-byte (the g1_limb.add oracle
+    and the byte-exact fixed-base table use this)."""
     R = Fq.PARAMS.montgomery_r
     n = len(points)
     out = []
@@ -271,10 +317,30 @@ def points_to_limb_major(points) -> tuple:
     return tuple(out)
 
 
+def points_to_limb_major_affine(points) -> tuple:
+    """Host G1Points -> ([24, N],)*3 device arrays normalized to the MSM
+    affine invariant (Z = 1; the identity packs as x = y = z = 0) — the
+    layout ``msm_device``/the sharded MSM require for mixed addition."""
+    from ..curves.bls12_377 import G1Point
+
+    norm = []
+    for pt in points:
+        if pt.is_identity():
+            norm.append(G1Point(0, 0, 0))
+        else:
+            x, y = pt.to_affine()
+            norm.append(G1Point(x, y, 1))
+    return points_to_limb_major(norm)
+
+
 def native_points_to_limb_major(points_native: np.ndarray):
     """[N, 18] u64 Jacobian Montgomery (the native SRS layout) ->
     one [3, 24, N] uint32 device array — a pure view/transpose, no
-    bigints; stacked so the MSM gathers all coordinates in one take."""
+    bigints; stacked so the MSM gathers all coordinates in one take.
+
+    Input must satisfy the affine invariant (Z == 1, identity rows all
+    zero — ``native.g1_ensure_normalized``); the MSM accumulate performs
+    mixed adds against the X/Y planes only."""
     u16 = np.ascontiguousarray(points_native, dtype="<u8").view("<u2").reshape(-1, 3, L)
     coords = u16.astype(np.uint32).transpose(1, 2, 0)  # [3, 24, N]
     return jnp.asarray(coords)

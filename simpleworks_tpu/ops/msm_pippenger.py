@@ -16,9 +16,11 @@ arithmetic:
    occupancy D).  Digit extraction + sort are cheap numpy; the grid is the
    entire "scatter" problem solved ahead of time.
 2. **Device accumulate**: one ``lax.scan`` of D steps; each step gathers a
-   ``[W·B]``-lane point batch and does one masked complete Jacobian add
-   (~23 Pallas Fq muls — compute-bound in VMEM).  Work = D·W·B lane-adds
-   ≈ the W·N sequential-Pippenger optimum times a small padding factor.
+   ``[W·B]``-lane AFFINE point batch (x, y only — the SRS is normalized to
+   Z = 1) and does one masked complete mixed add (``g1_limb.madd``,
+   11 Pallas Fq muls vs 16 for the Jacobian-Jacobian add).  Work = D·W·B
+   lane-adds ≈ the W·N sequential-Pippenger optimum times a small padding
+   factor.
 3. **Device bucket combine**: Σ_d d·S_d per window via inclusive suffix
    sums (Hillis-Steele over the bucket axis, c batched adds) and a tree
    reduction — 2c adds over W·B lanes.
@@ -188,17 +190,18 @@ def accumulate_windows(XYZ, idx, valid, w_count: int, segs: int, b: int,
     acc = vary(g1_limb.identity(lanes))
 
     # Row-major copy for the scan's gathers: TPU gathers are fast along the
-    # LEADING axis (whole 288-byte point rows) and ~6x slower along the lane
-    # (minor) axis — measured 0.7 ms vs 4.4 ms per 63k-point gather on v5e.
-    # One [n, 72] transpose here buys that on every scan step.
-    rows = XYZ.reshape(3 * 24, -1).T  # [n, 72]
+    # LEADING axis (whole point rows) and ~6x slower along the lane (minor)
+    # axis — measured 0.7 ms vs 4.4 ms per 63k-point gather on v5e.  Points
+    # are AFFINE (Z == 1 by the limb-major packing invariant; identity rows
+    # x = y = 0), so only X, Y are gathered (192 bytes/row, −33%) and each
+    # step is a mixed add (g1_limb.madd, 11 muls vs 16).
+    rows = XYZ[:2].reshape(2 * 24, -1).T  # [n, 48]
 
     def step(acc, xs):
         idx_d, valid_d = xs
-        g = jnp.take(rows, idx_d, axis=0)  # [lanes, 72] — leading-axis gather
-        pts3 = g.T.reshape(3, 24, -1)
-        pts = (pts3[0], pts3[1], pts3[2])
-        added = g1_limb.add(acc, pts)
+        g = jnp.take(rows, idx_d, axis=0)  # [lanes, 48] — leading-axis gather
+        pts2 = g.T.reshape(2, 24, -1)
+        added = g1_limb.madd(acc, (pts2[0], pts2[1]))
         return g1_limb.select_point(valid_d, added, acc), None
 
     acc, _ = jax.lax.scan(step, acc, (idx, valid))

@@ -165,6 +165,10 @@ def make_sharded_msm(mesh: Mesh, axis_name: str, w_count: int, segs: int, b: int
     return jax.jit(run)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
 def make_sharded_msm_digits(mesh: Mesh, axis_name: str, n_local: int,
                             w_count: int, segs: int, b: int, depth: int):
     """Digits-schedule SPMD MSM stage: (XYZ [3, 24, N] sharded on points,
@@ -244,6 +248,61 @@ def build_sharded_meta(digits: np.ndarray, c: int, n_shards: int):
     return out
 
 
+def sharded_msm_native(mesh: Mesh, axis_name: str, powers_native: np.ndarray,
+                       scalars_std: np.ndarray, offset: int = 0,
+                       c: int | None = None) -> G1Point:
+    """SPMD MSM over a native [M, 18] SRS table slice — the prover's commit
+    path when a mesh is configured (ops/accel.py: use_sharded_msm).  Ships
+    sharded digit blocks, builds gather grids per device, tree-reduces the
+    window partials over the mesh; bit-identical group output to
+    msm_device/the native Pippenger (test_prove_bytes_1_vs_8)."""
+    from .. import native
+    from ..ops.msm_pippenger import _auto_window_bits
+
+    n = scalars_std.shape[0]
+    if n == 0:
+        return G1Point.identity()
+    if c is None:
+        c = _auto_window_bits(n)
+    if native.available():
+        powers_native = native.g1_ensure_normalized(powers_native)
+    n_dev = mesh.shape[axis_name]
+    target = max(n_dev, ((n + n_dev - 1) // n_dev) * n_dev)
+    pts = np.zeros((target, 18), dtype="<u8")  # all-zero rows = identity
+    pts[:n] = powers_native[offset : offset + n]
+    std = np.zeros((target, 4), dtype="<u8")
+    std[:n] = scalars_std
+    xyz_dev = jax.device_put(
+        g1_limb.native_points_to_limb_major(pts),
+        NamedSharding(mesh, P(None, None, axis_name)),
+    )
+    grid_spec = NamedSharding(mesh, P(axis_name, None, None))
+    w_count = (SCALAR_BITS + c - 1) // c
+    per = target // n_dev
+    digits = window_digits(std, c)
+    d_small = digits.astype(np.uint8 if c <= 8 else np.uint16)
+    blocks = d_small.reshape(w_count, n_dev, per).transpose(1, 0, 2)
+    window_points = [G1Point.identity()] * w_count
+    for window_ids, segs, b_g, depth in build_sharded_meta(digits, c, n_dev):
+        run = make_sharded_msm_digits(
+            mesh, axis_name, per, len(window_ids), segs, b_g, depth
+        )
+        wins = run(
+            xyz_dev,
+            jax.device_put(
+                jnp.asarray(np.ascontiguousarray(blocks[:, window_ids])), grid_spec
+            ),
+        )
+        for w, pt in zip(window_ids, g1_limb.points_from_limb_major(wins)):
+            window_points[w] = pt
+    total = G1Point.identity()
+    for wp in reversed(window_points):
+        for _ in range(c):
+            total = total.double()
+        total = total.add(wp)
+    return total
+
+
 def sharded_msm_host(mesh: Mesh, axis_name: str, points: list[G1Point],
                      scalars: list[int], c: int = 8,
                      schedule: str | None = None) -> G1Point:
@@ -308,4 +367,4 @@ def sharded_msm_host(mesh: Mesh, axis_name: str, points: list[G1Point],
 
 
 def _points_to_stacked(points: list[G1Point]):
-    return g1_limb.points_to_limb_major(points)
+    return g1_limb.points_to_limb_major_affine(points)

@@ -131,9 +131,27 @@ class Radix2Domain:
         return FrVec.powers(self.group_gen, self.size)
 
     def _transform_vec(self, v, omega: int, scale: int | None = None):
-        """Natural-order NTT of a full-size FrVec; routes device/native/python."""
+        """Natural-order NTT of a full-size FrVec; routes
+        sharded/device/native/python — every route is bit-exact."""
         from ..fields.frvec import FrVec
         from ..ops import accel
+
+        if accel.use_sharded_ntt(self.size) and omega in (
+            self.group_gen, self.group_gen_inv,
+        ):
+            mesh_axis = accel.prover_mesh()
+            if mesh_axis is not None:
+                from ..parallel.ntt_sharded import (
+                    sharded_transform_supported,
+                    sharded_transform_vec,
+                )
+
+                mesh, axis = mesh_axis
+                if sharded_transform_supported(mesh, axis, self.size):
+                    out = sharded_transform_vec(
+                        mesh, axis, v, inverse=omega == self.group_gen_inv
+                    )
+                    return out if scale is None else out.scale(scale)
 
         if accel.use_device_ntt(self.size):
             import numpy as _np

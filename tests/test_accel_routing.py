@@ -47,3 +47,38 @@ def test_prove_device_routing_bit_exact(monkeypatch):
 
     assert device_bytes == host_bytes
     assert marlin.verify(vk, [3], host_proof)
+
+
+def test_prove_device_routing_bit_exact_midsize(monkeypatch):
+    """Mid-size variant (SRS 1000/250/3000): domains large enough that the
+    depth-grouping and multi-segment MSM schedule paths activate (toy sizes
+    barely reach them) — same proof-byte invariance claim."""
+    from simpleworks_tpu.fields.bls12_377 import ConstraintF, FR_MODULUS
+    from simpleworks_tpu.r1cs.constraint_system import ONE, ConstraintSystem
+
+    srs = marlin.universal_setup(1000, 250, 3000, marlin.generate_rand())
+    cs = ConstraintSystem(ConstraintF)
+    a = cs.new_input_variable(3)
+    cur, cur_val = cs.new_witness_variable(3), 3
+    cs.enforce_constraint(cs.lc((1, a)) - cs.lc((1, cur)), cs.lc((1, ONE)), cs.lc())
+    for _ in range(900):
+        nxt_val = cur_val * cur_val % FR_MODULUS
+        nxt = cs.new_witness_variable(nxt_val)
+        cs.enforce_constraint(cs.lc((1, cur)), cs.lc((1, cur)), cs.lc((1, nxt)))
+        cur, cur_val = nxt, nxt_val
+    pk, vk = marlin.index(srs, cs)
+
+    monkeypatch.setenv("SWTPU_ACCEL", "0")
+    accel.device_available.cache_clear()
+    host_bytes = serialize_proof(marlin.prove(pk, cs))
+
+    monkeypatch.setenv("SWTPU_ACCEL", "1")
+    monkeypatch.setattr(accel, "NTT_DEVICE_THRESHOLD", 1)
+    monkeypatch.setattr(accel, "MSM_DEVICE_THRESHOLD", 1)
+    accel.device_available.cache_clear()
+    try:
+        device_bytes = serialize_proof(marlin.prove(pk, cs))
+    finally:
+        accel.device_available.cache_clear()
+
+    assert device_bytes == host_bytes

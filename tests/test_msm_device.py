@@ -72,7 +72,8 @@ def test_msm_device_matches_host(n, c, schedule):
     scalars = [int.from_bytes(rng.bytes(33), "little") % FR_MODULUS for _ in range(n)]
     scalars[0] = 0          # zero scalar skipped
     scalars[-1] = 1         # unit scalar
-    lm = g1_limb.points_to_limb_major(pts)
+    pts[2] = pts[1]         # duplicate point -> bucket doubling via madd
+    lm = g1_limb.points_to_limb_major_affine(pts)
     got = msm_pippenger.msm_device(lm, scalars_to_std(scalars), c=c, schedule=schedule)
     assert got == msm(pts, scalars)
 
@@ -80,7 +81,7 @@ def test_msm_device_matches_host(n, c, schedule):
 @pytest.mark.parametrize("schedule", ["device", "host"])
 def test_msm_device_offset(schedule):
     pts = make_points(12)
-    lm = g1_limb.points_to_limb_major(pts)
+    lm = g1_limb.points_to_limb_major_affine(pts)
     scalars = [i + 1 for i in range(8)]
     got = msm_pippenger.msm_device(
         lm, scalars_to_std(scalars), c=8, offset=4, schedule=schedule

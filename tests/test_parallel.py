@@ -104,3 +104,98 @@ def test_default_mesh_from_config():
     m = default_mesh()
     assert m.axis_names == (DEFAULT_CONFIG.mesh_axis,)
     assert m.shape[DEFAULT_CONFIG.mesh_axis] == len(jax.devices())
+
+
+def _square_chain_cs(n_constraints: int, x: int = 3):
+    """x public; w₀ = x, w_{i+1} = w_i² chained — a circuit big enough
+    (H = K = 128) that the sharded thresholds below actually engage while
+    the shard_map compiles stay CI-sized (the 4-step factors of every
+    domain used, 128..1024, remain divisible by the 8 devices)."""
+    from simpleworks_tpu.fields.bls12_377 import ConstraintF, FR_MODULUS
+    from simpleworks_tpu.r1cs.constraint_system import ONE, ConstraintSystem
+
+    cs = ConstraintSystem(ConstraintF)
+    a = cs.new_input_variable(x)
+    cur_val = x
+    cur = cs.new_witness_variable(cur_val)
+    cs.enforce_constraint(cs.lc((1, a)) - cs.lc((1, cur)), cs.lc((1, ONE)), cs.lc())
+    for _ in range(n_constraints):
+        nxt_val = cur_val * cur_val % FR_MODULUS
+        nxt = cs.new_witness_variable(nxt_val)
+        cs.enforce_constraint(cs.lc((1, cur)), cs.lc((1, cur)), cs.lc((1, nxt)))
+        cur, cur_val = nxt, nxt_val
+    return cs, x
+
+
+def test_prove_bytes_1_vs_8(mesh, monkeypatch):
+    """SURVEY.md §7 PR7 acceptance: serialized Marlin proof bytes are
+    IDENTICAL with the prover's NTTs/MSMs routed over the 8-device mesh
+    (sharded 4-step NTT + sharded Pippenger) vs the single-device path.
+    The mesh routing is wired through the same accel router the real
+    prover uses (ops/accel.py: prover_mesh / use_sharded_*), and the test
+    counts the sharded calls — a silent fallback to the host path fails
+    the test, it cannot pass vacuously."""
+    import simpleworks_tpu.parallel.msm_sharded as ms
+    import simpleworks_tpu.parallel.ntt_sharded as ns
+    from simpleworks_tpu import marlin
+    from simpleworks_tpu.marlin.serialization import serialize_proof
+    from simpleworks_tpu.ops import accel
+
+    srs = marlin.universal_setup(128, 128, 128, marlin.generate_rand())
+    cs, x = _square_chain_cs(120)
+    assert cs.is_satisfied()
+    pk, vk = marlin.index(srs, cs)
+    host_proof = marlin.prove(pk, cs)
+    host_bytes = serialize_proof(host_proof)
+
+    calls = {"ntt": 0, "msm": 0}
+    orig_ntt, orig_msm = ns.sharded_transform_vec, ms.sharded_msm_native
+    monkeypatch.setattr(
+        ns, "sharded_transform_vec",
+        lambda *a, **k: (calls.__setitem__("ntt", calls["ntt"] + 1), orig_ntt(*a, **k))[1],
+    )
+    monkeypatch.setattr(
+        ms, "sharded_msm_native",
+        lambda *a, **k: (calls.__setitem__("msm", calls["msm"] + 1), orig_msm(*a, **k))[1],
+    )
+    monkeypatch.setattr(accel, "SHARDED_NTT_THRESHOLD", 128)
+    monkeypatch.setattr(accel, "SHARDED_MSM_THRESHOLD", 64)
+    accel.set_prover_mesh(mesh, "shard")
+    try:
+        sharded_bytes = serialize_proof(marlin.prove(pk, cs))
+    finally:
+        accel.set_prover_mesh(None, "shard")
+
+    assert calls["ntt"] > 0, "sharded NTT never engaged — test would be vacuous"
+    assert calls["msm"] > 0, "sharded MSM never engaged — test would be vacuous"
+    assert sharded_bytes == host_bytes
+    assert marlin.verify(vk, [x], host_proof)
+
+
+def test_ledger_validate_block_dp(mesh):
+    """State.validate_block: the DP axis applied to its SURVEY oracle —
+    a block of transactions batch-validated with the in-circuit Schnorr
+    checks sharded across the mesh (reference validates per-tx:
+    examples/simple-payments/ledger.rs:176-193).  Verdicts match per-tx
+    validate semantics: valid, bad-signature, overspend, unknown-recipient."""
+    from simpleworks_tpu.examples.simple_payments.account import AccountId
+    from simpleworks_tpu.examples.simple_payments.ledger import Parameters, State
+    from simpleworks_tpu.examples.simple_payments.transaction import Transaction
+    from simpleworks_tpu.utils.rng import test_rng
+
+    rng = test_rng()
+    pp = Parameters.sample(rng, prove_transactions=False)
+    state = State(8, pp)
+    _, _apk, ask = state.sample_keys_and_register(pp, rng)
+    _, _bpk, bsk = state.sample_keys_and_register(pp, rng)
+    state.update_balance(AccountId(1), 10)
+
+    good = Transaction.create(pp, AccountId(1), AccountId(2), 5, ask, rng)
+    bad_sig = Transaction.create(pp, AccountId(1), AccountId(2), 5, bsk, rng)
+    overspend = Transaction.create(pp, AccountId(1), AccountId(2), 11, ask, rng)
+    unknown = Transaction.create(pp, AccountId(1), AccountId(3), 1, ask, rng)
+
+    verdicts = state.validate_block(pp, [good, bad_sig, overspend, unknown], mesh=mesh)
+    assert verdicts == [True, False, False, False]
+    # parity with the sequential per-tx path
+    assert [t.validate(pp, state) for t in (good, bad_sig, overspend, unknown)] == verdicts
