@@ -186,7 +186,13 @@ def _points_from_native(arr: np.ndarray):
 def _msm_window_bits(n: int) -> int:
     """Pippenger window scaled to the input size (bucket running-sum cost
     2^c must not dwarf the N point adds — c=13 for 300 points spent ~1 s
-    walking empty buckets)."""
+    walking empty buckets).  From 2^20 up, c=16 wins on the batch-affine
+    path (measured on the 2-vCPU host: 2^21 c=16 94k pts/s vs c=13 75k,
+    back-to-back in one process); at 2^19 c=13/15 tie within host noise
+    (c=14 is reproducibly worse than both), so the smaller window keeps
+    bucket memory down."""
+    if n >= (1 << 20):
+        return 16
     return max(2, min(13, n.bit_length() - 2))
 
 
