@@ -199,3 +199,26 @@ def test_ledger_validate_block_dp(mesh):
     assert verdicts == [True, False, False, False]
     # parity with the sequential per-tx path
     assert [t.validate(pp, state) for t in (good, bad_sig, overspend, unknown)] == verdicts
+
+
+@pytest.mark.fullscale
+def test_sharded_ntt_fullscale_2_16(mesh):
+    """Scale validation of the SP axis at a real prover shape: the 4-step
+    sharded NTT at n = 2^16 (the merkle/schnorr workloads' H-domain
+    magnitude, reference src/merkle_tree/simple_merkle_tree.rs:39) must be
+    bit-exact vs the host NTT — padding policy and twiddle indexing at
+    this size differ structurally from the 256-point fast-suite case."""
+    from simpleworks_tpu.fields.frvec import FrVec
+    from simpleworks_tpu.parallel.ntt_sharded import sharded_transform_vec
+
+    n = 1 << 16
+    rnd = np.random.default_rng(13)
+    values = [int(v) % FR_MODULUS for v in rnd.integers(0, 1 << 62, size=n)]
+    v = FrVec.from_ints(values)
+    got = sharded_transform_vec(mesh, "shard", v)
+    expected = Radix2Domain(n).fft_vec(v)
+    assert got.to_ints() == expected.to_ints()
+    # inverse round-trip through the sharded path
+    back = sharded_transform_vec(mesh, "shard", got, inverse=True)
+    n_inv = pow(n, FR_MODULUS - 2, FR_MODULUS)
+    assert back.scale(n_inv).to_ints() == values
