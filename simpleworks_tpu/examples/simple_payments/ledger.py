@@ -12,7 +12,7 @@ library's 4×128 / 4×144)."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 from ...curves.edwards import EdwardsPoint

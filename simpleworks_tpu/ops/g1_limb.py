@@ -223,7 +223,25 @@ def madd(p, q_affine):
     The bucket-accumulate step of the MSM: SRS tables are normalized to
     Z = 1 (kzg10 setup/load), so each gathered point is 2 coordinates
     instead of 3 (−33% gather bytes) and the general add is 11 muls
-    instead of 16."""
+    instead of 16.  With ``SWTPU_FUSED_ADD=1`` on TPU the whole formula
+    runs as ONE fused Pallas kernel (:mod:`.g1_fused_pallas`
+    make_fused_madd); the composed path below is the oracle."""
+    if _use_fused_add():
+        from .g1_fused_pallas import TILE as FUSED_TILE, make_fused_madd
+
+        B = p[0].shape[1]
+        pad = -B % FUSED_TILE
+        if pad:
+            p = tuple(jnp.pad(a, ((0, 0), (0, pad))) for a in p)
+            q_affine = tuple(jnp.pad(a, ((0, 0), (0, pad))) for a in q_affine)
+        out = make_fused_madd()(p, q_affine)
+        if pad:
+            out = tuple(a[:, :B] for a in out)
+        return out
+    return _madd_composed(p, q_affine)
+
+
+def _madd_composed(p, q_affine):
     f = fq_limb()
     X1, Y1, Z1 = p
     X2, Y2 = q_affine

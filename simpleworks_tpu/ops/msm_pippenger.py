@@ -33,7 +33,7 @@ tests/test_msm_device.py).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import numpy as np
 import jax

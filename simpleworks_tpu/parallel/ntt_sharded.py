@@ -17,8 +17,6 @@ Validated bit-exact against the host NTT on a virtual 8-device mesh
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -162,3 +162,17 @@ def test_fused_add_matches_composed_and_host(monkeypatch):
     )
     host = [a.add(b) for a, b in zip(pts_p, pts_q)]
     assert got == composed == host
+
+    # fused MIXED add (the MSM accumulate's hot op) vs composed and host
+    from simpleworks_tpu.ops.g1_fused_pallas import make_fused_madd
+
+    Q2 = tuple(
+        jnp.tile(a, (1, reps))
+        for a in g1_limb.points_to_limb_major_affine(pts_q)[:2]
+    )
+    mout = make_fused_madd()(P3, Q2)
+    mgot = g1_limb.points_from_limb_major(tuple(a[:, :8] for a in mout))
+    mcomposed = g1_limb.points_from_limb_major(
+        tuple(a[:, :8] for a in g1_limb._madd_composed(P3, Q2))
+    )
+    assert mgot == mcomposed == host

@@ -6,7 +6,7 @@ import pytest
 
 from simpleworks_tpu import native
 from simpleworks_tpu.curves.bls12_377 import G1Point
-from simpleworks_tpu.fields.bls12_377 import FQ_MODULUS, FR_MODULUS, fr_root_of_unity
+from simpleworks_tpu.fields.bls12_377 import FQ_MODULUS, FR_MODULUS
 from simpleworks_tpu.kzg.msm import msm
 from simpleworks_tpu.poly.domain import Radix2Domain
 
@@ -84,8 +84,6 @@ def test_native_msm_affine_matches_jacobian():
     batched inversion per round) == Jacobian Pippenger == Python oracle,
     across window sizes, including zero/unit scalars, duplicate points
     (bucket doublings) and identity rows."""
-    import numpy as np
-
     from simpleworks_tpu.fields.frvec import FrVec
 
     g = G1Point.generator()

@@ -72,3 +72,34 @@ def test_fq_limb_pads_odd_batches():
     assert got_mul == [x * y % Q for x, y in zip(av, bv)]
     assert got_add == [(x + y) % Q for x, y in zip(av, bv)]
     assert got_sub == [(x - y) % Q for x, y in zip(av, bv)]
+
+
+def test_fused_madd_math_matches_composed_and_host():
+    """The fused mixed-add kernel's arithmetic (ops/g1_fused_pallas
+    _madd_math) — run EAGERLY, the CPU-feasible oracle since the fused
+    kernel only compiles tractably on TPU — is bit-exact with the composed
+    g1_limb.madd and the host point law, including identity/double/inverse
+    edge cases."""
+    from simpleworks_tpu.curves.bls12_377 import G1Point
+    from simpleworks_tpu.ops import g1_limb
+    from simpleworks_tpu.ops.g1_fused_pallas import madd_math_eager
+
+    g = G1Point.generator()
+    pts_p = [g.scalar_mul(i * 7919 + 3) for i in range(8)]
+    pts_q = [g.scalar_mul(i * 104729 + 11) for i in range(8)]
+    pts_p[0] = G1Point.identity()
+    pts_q[1] = G1Point.identity()
+    pts_q[2] = pts_p[2]          # doubling
+    pts_q[3] = pts_p[3].neg()    # P + (-P) = identity
+    pts_p[4] = G1Point.identity()
+    pts_q[4] = G1Point.identity()
+    P3 = g1_limb.points_to_limb_major(pts_p)        # arbitrary Jacobian acc
+    Q2 = g1_limb.points_to_limb_major_affine(pts_q)[:2]
+    import numpy as np
+
+    eager = madd_math_eager(tuple(np.asarray(a) for a in P3),
+                            tuple(np.asarray(a) for a in Q2))
+    got = g1_limb.points_from_limb_major(eager)
+    composed = g1_limb.points_from_limb_major(g1_limb._madd_composed(P3, Q2))
+    host = [a.add(b) for a, b in zip(pts_p, pts_q)]
+    assert got == composed == host
