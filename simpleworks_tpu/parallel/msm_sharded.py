@@ -267,7 +267,18 @@ def sharded_msm_native(mesh: Mesh, axis_name: str, powers_native: np.ndarray,
     if native.available():
         powers_native = native.g1_ensure_normalized(powers_native)
     n_dev = mesh.shape[axis_name]
-    target = max(n_dev, ((n + n_dev - 1) // n_dev) * n_dev)
+    # quantize the per-device lane count so nearby MSM sizes share one SPMD
+    # program (compiles are minutes on small hosts): power-of-two up to
+    # 1024 lanes/device, then 1024-multiples (<=0.1% padding at scale) —
+    # zero-scalar pad lanes are mathematically free
+    per_raw = max(1, (n + n_dev - 1) // n_dev)
+    if per_raw <= 1024:
+        per = 8
+        while per < per_raw:
+            per <<= 1
+    else:
+        per = ((per_raw + 1023) // 1024) * 1024
+    target = per * n_dev
     pts = np.zeros((target, 18), dtype="<u8")  # all-zero rows = identity
     pts[:n] = powers_native[offset : offset + n]
     std = np.zeros((target, 4), dtype="<u8")
@@ -278,7 +289,6 @@ def sharded_msm_native(mesh: Mesh, axis_name: str, powers_native: np.ndarray,
     )
     grid_spec = NamedSharding(mesh, P(axis_name, None, None))
     w_count = (SCALAR_BITS + c - 1) // c
-    per = target // n_dev
     digits = window_digits(std, c)
     d_small = digits.astype(np.uint8 if c <= 8 else np.uint16)
     blocks = d_small.reshape(w_count, n_dev, per).transpose(1, 0, 2)
