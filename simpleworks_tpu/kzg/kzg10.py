@@ -165,7 +165,12 @@ def setup(max_degree: int, rng) -> UniversalSRS:
 # [N, 18]-u64 layout is cached (the fast path); disable with
 # ``SWTPU_SRS_DISK_CACHE=0`` or point elsewhere with ``SWTPU_SRS_CACHE_DIR``.
 
-_SRS_DISK_FORMAT = 1
+# Format 2: the powers table is stored pre-normalized (Z == 1, identity
+# rows all zero) — the layout invariant the batch-affine host MSM and the
+# mixed-add device accumulate both rely on.  Format-1 checkpoints (which
+# could hold Jacobian Z != 1 rows) hash to different paths and are simply
+# regenerated (ADVICE r3 #1).
+_SRS_DISK_FORMAT = 2
 _SRS_DISK_MAX_FILES = 4
 
 
@@ -313,10 +318,11 @@ def _srs_msm(srs: UniversalSRS, coeffs, offset: int = 0) -> G1Point:
             with PROVER_TIMER.region("srs_msm.native"):
                 # batch-affine accumulation (~1.8x the Jacobian path);
                 # normalization is one batched inversion, amortized across
-                # every commit/open against this SRS
+                # every commit/open against this SRS — store the result
+                # back so a copying normalization is never re-paid
+                srs.powers_native = native.g1_ensure_normalized(srs.powers_native)
                 return native.g1_msm_affine_arr(
-                    native.g1_ensure_normalized(srs.powers_native)[offset : offset + n],
-                    scalars_std,
+                    srs.powers_native[offset : offset + n], scalars_std
                 )
     with PROVER_TIMER.region("srs_msm.python"):
         return msm(srs.powers_of_g[offset : offset + n], vec.to_ints())

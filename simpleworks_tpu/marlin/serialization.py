@@ -97,7 +97,13 @@ def deserialize_proof(data: bytes) -> MarlinProof:
         evaluations[name] = Fr.deserialize(data[off : off + 32]).value
         off += 32
     (n_msgs,) = struct.unpack_from("<Q", data, off)
-    off += 8 + n_msgs  # EmptyMessage variant bytes
+    off += 8
+    ensure(n_msgs == 3, "unexpected prover-message count")
+    ensure(
+        data[off : off + n_msgs] == b"\x00" * n_msgs,
+        "prover messages must be EmptyMessage (variant byte 0)",
+    )
+    off += n_msgs
     (n_pc,) = struct.unpack_from("<Q", data, off)
     off += 8
     ensure(n_pc == 2, "expected two opening proofs (beta, gamma)")

@@ -18,15 +18,121 @@ Env overrides: ``SWTPU_ACCEL=1`` forces device paths on any backend and
 skips the probe, ``SWTPU_ACCEL=0`` disables them.  Thresholds:
 ``SWTPU_NTT_THRESHOLD``, ``SWTPU_MSM_THRESHOLD`` (element counts),
 ``SWTPU_NTT_MIN_MBPS``, ``SWTPU_MSM_MIN_MBPS`` (link gates).
+
+Wedge-proofing: the attached accelerator link (an axon-tunneled TPU on
+the build host) can wedge such that *any* in-process ``jax.devices()``
+call — or the first jnp dispatch to the default backend — blocks
+forever.  The library therefore NEVER enumerates non-CPU devices
+in-process until a deadline-guarded **subprocess probe** has verified
+the backend is healthy (enumerate + one tiny computation + fetch).  The
+verdict is cached in the temp dir: a healthy verdict for
+``SWTPU_PROBE_TTL_OK`` (default 30 min), a wedged one for
+``SWTPU_PROBE_TTL_BAD`` (default 5 min, so a healed tunnel is retried).
+On a wedged verdict the process is additionally pinned to the CPU
+backend (``jax.config.update('jax_platforms', 'cpu')``) so stray jnp
+dispatches cannot hang either.  Residual risk: a link that wedges
+*after* a healthy probe can still block in-process work — the probe
+bounds startup, not every dispatch.  The reference contract this
+protects: the library must always be runnable, like the reference's
+examples (reference README.md:11-17).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import tempfile
 import time
 from functools import lru_cache
+
+PROBE_TIMEOUT = float(os.environ.get("SWTPU_PROBE_TIMEOUT", 30.0))
+PROBE_TTL_OK = float(os.environ.get("SWTPU_PROBE_TTL_OK", 1800.0))
+PROBE_TTL_BAD = float(os.environ.get("SWTPU_PROBE_TTL_BAD", 300.0))
+
+_PROBE_SRC = (
+    "import json\n"
+    "import jax\n"
+    "ds = jax.devices()\n"
+    "import jax.numpy as jnp\n"
+    "import numpy as np\n"
+    "x = jnp.ones((8, 128))\n"
+    "assert float(np.asarray((x + 1).sum())) == 2048.0\n"
+    "print(json.dumps({'platform': ds[0].platform,"
+    " 'kind': ds[0].device_kind}))\n"
+)
+
+
+def _probe_device_subprocess() -> dict:
+    """Enumerate + exercise the default jax backend in a subprocess with a
+    hard deadline, so a wedged device link can never block *this* process.
+    Returns ``{"ok": bool, ...platform/kind when ok}``."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # probe the real default backend
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            capture_output=True,
+            timeout=PROBE_TIMEOUT,
+            env=env,
+        )
+        if out.returncode == 0:
+            info = json.loads(out.stdout.decode().strip().splitlines()[-1])
+            return {"ok": info["platform"] != "cpu", **info}
+    except (subprocess.TimeoutExpired, OSError, ValueError, KeyError, IndexError):
+        pass
+    return {"ok": False}
+
+
+def _probe_cache_path() -> str:
+    return os.path.join(tempfile.gettempdir(), "swtpu_device_probe.json")
+
+
+def _cached_probe() -> dict:
+    """The subprocess probe, memoized on disk with asymmetric TTLs."""
+    path = _probe_cache_path()
+    now = time.time()
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        ttl = PROBE_TTL_OK if rec.get("ok") else PROBE_TTL_BAD
+        if 0 <= now - float(rec.get("ts", 0)) < ttl:
+            return rec
+    except (OSError, ValueError):
+        pass
+    rec = _probe_device_subprocess()
+    rec["ts"] = now
+    try:
+        with open(path, "w") as f:
+            json.dump(rec, f)
+    except OSError:
+        pass
+    return rec
+
+
+def _pin_cpu() -> None:
+    """Best-effort in-process CPU pin (the only reliable pin on hosts where
+    a PJRT plugin is registered at interpreter start — an env-var-only
+    JAX_PLATFORMS=cpu does not stop a wedged backend from blocking)."""
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+
+def _cpu_pinned() -> bool:
+    """True when this process is already explicitly pinned to CPU."""
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return True
+    try:
+        import jax
+
+        return (jax.config.jax_platforms or "").strip().lower() == "cpu"
+    except Exception:
+        return False
 
 
 @lru_cache(maxsize=1)
@@ -36,17 +142,17 @@ def device_available() -> bool:
         return False
     if flag == "1":
         return True
-    # honor an explicit CPU pin without touching jax: backend init over a
-    # wedged device link can block the whole process (observed on the
-    # tunneled worker), and a CPU-pinned run never wants the device anyway
-    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    # honor an explicit CPU pin without touching the backend: a CPU-pinned
+    # run never wants the device anyway
+    if _cpu_pinned():
         return False
-    try:
-        import jax
-
-        return any(d.platform != "cpu" for d in jax.devices())
-    except Exception:
+    rec = _cached_probe()
+    if not rec.get("ok"):
+        # keep any later stray jnp dispatch off the (possibly wedged)
+        # default backend too
+        _pin_cpu()
         return False
+    return True
 
 
 def _forced() -> bool:
@@ -76,13 +182,14 @@ def _probe_link_mbps() -> float:
 @lru_cache(maxsize=1)
 def link_bandwidth_mbps() -> float:
     """Host→device bandwidth in MB/s, probed once and cached per device
-    kind in the temp dir (so short CLI runs skip the probe)."""
-    try:
-        import jax
-
-        kind = jax.devices()[0].device_kind.replace(" ", "_").replace("/", "_")
-    except Exception:
+    kind in the temp dir (so short CLI runs skip the probe).  Only called
+    after ``device_available()`` verified the backend healthy, so the
+    device kind comes from that probe record — never an in-process
+    ``jax.devices()`` that could block on a wedged link."""
+    if not device_available():
         return 0.0
+    rec = _cached_probe() if not _forced() else {}
+    kind = str(rec.get("kind", "forced")).replace(" ", "_").replace("/", "_")
     cache = os.path.join(tempfile.gettempdir(), f"swtpu_link_{kind}.json")
     try:
         with open(cache) as f:
@@ -99,13 +206,15 @@ def link_bandwidth_mbps() -> float:
 
 
 def use_device_ntt(n: int) -> bool:
-    if not device_available() or n < NTT_DEVICE_THRESHOLD:
+    # size gate FIRST: a sub-threshold op must never pay (or block on) the
+    # device probe — a 100-constraint demo prove stays wedge-immune
+    if n < NTT_DEVICE_THRESHOLD or not device_available():
         return False
     return _forced() or link_bandwidth_mbps() >= NTT_MIN_LINK_MBPS
 
 
 def use_device_msm(n: int) -> bool:
-    if not device_available() or n < MSM_DEVICE_THRESHOLD:
+    if n < MSM_DEVICE_THRESHOLD or not device_available():
         return False
     return _forced() or link_bandwidth_mbps() >= MSM_MIN_LINK_MBPS
 
@@ -117,7 +226,7 @@ FIXED_BASE_MIN_LINK_MBPS = float(os.environ.get("SWTPU_FIXED_BASE_MIN_MBPS", 5.0
 def use_device_fixed_base(n: int) -> bool:
     """SRS powers-of-tau generation: ~250 B/point of link traffic buys
     ~58 µs/point of host compute — wins from ~5 MB/s of bandwidth."""
-    if not device_available() or n < FIXED_BASE_THRESHOLD:
+    if n < FIXED_BASE_THRESHOLD or not device_available():
         return False
     return _forced() or link_bandwidth_mbps() >= FIXED_BASE_MIN_LINK_MBPS
 
@@ -148,6 +257,11 @@ def _env_mesh():
 
         n = DEFAULT_CONFIG.mesh_devices or 0
     if n <= 1:
+        return None
+    # a mesh is built from CPU virtual devices (tests/dryrun pin
+    # JAX_PLATFORMS=cpu) or from a subprocess-verified healthy backend —
+    # never by enumerating an unverified (possibly wedged) device link
+    if not _cpu_pinned() and not device_available():
         return None
     try:
         import jax

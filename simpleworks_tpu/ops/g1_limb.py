@@ -358,8 +358,22 @@ def native_points_to_limb_major(points_native: np.ndarray):
 
     Input must satisfy the affine invariant (Z == 1, identity rows all
     zero — ``native.g1_ensure_normalized``); the MSM accumulate performs
-    mixed adds against the X/Y planes only."""
-    u16 = np.ascontiguousarray(points_native, dtype="<u8").view("<u2").reshape(-1, 3, L)
+    mixed adds against the X/Y planes only.  The invariant is asserted
+    here lib-free (pure numpy) so a stale Jacobian table can never reach
+    the device silently (ADVICE r3 #1)."""
+    rows = np.ascontiguousarray(points_native, dtype="<u8").reshape(-1, 18)
+    mont_one = np.zeros(6, dtype="<u8")
+    r = Fq.PARAMS.montgomery_r % Q
+    for t in range(6):
+        mont_one[t] = (r >> (64 * t)) & 0xFFFFFFFFFFFFFFFF
+    z_is_one = (rows[:, 12:18] == mont_one).all(axis=1)
+    row_is_zero = (rows == 0).all(axis=1)
+    if not bool((z_is_one | row_is_zero).all()):
+        raise ValueError(
+            "point table violates the affine invariant (Z != 1): "
+            "normalize with native.g1_ensure_normalized first"
+        )
+    u16 = rows.view("<u2").reshape(-1, 3, L)
     coords = u16.astype(np.uint32).transpose(1, 2, 0)  # [3, 24, N]
     return jnp.asarray(coords)
 
