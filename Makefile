@@ -15,7 +15,13 @@ test-slow:
 bench:
 	python bench.py
 
+# device kernel legs only, appended to the committed BENCH_LOCAL.jsonl —
+# run whenever the tunnel is alive so an end-of-round wedge cannot blank
+# the device record
+bench-snapshot:
+	python bench.py --snapshot
+
 clean:
 	rm -f simpleworks_tpu/native/libswtpu_native.so
 
-.PHONY: native test test-slow bench clean
+.PHONY: native test test-slow bench bench-snapshot clean

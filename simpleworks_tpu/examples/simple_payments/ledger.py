@@ -106,7 +106,8 @@ class State:
         return True
 
     def validate_block(self, pp: Parameters, txs, mesh=None,
-                       axis_name: Optional[str] = None) -> list[bool]:
+                       axis_name: Optional[str] = None, prove: bool = False,
+                       rng=None, max_in_flight: int = 3):
         """Batch-validate a block of transactions — the DP axis applied to
         its SURVEY §2.4 oracle workload (the reference validates one tx at
         a time, ledger.rs:176-193; this vectorizes the block).
@@ -118,7 +119,18 @@ class State:
         the block runs as ONE data-parallel satisfiability batch
         (:func:`simpleworks_tpu.parallel.witness_dp.sharded_check_host`) —
         one circuit structure, per-tx witness assignments sharded across
-        devices, failure count psum-reduced.  Does not mutate state."""
+        devices, failure count psum-reduced.  Does not mutate state.
+
+        With ``prove=True`` the DP axis composes with the PP axis: every
+        transaction that passed the host + satisfiability checks gets a
+        full Marlin proof, pipelined through
+        :func:`simpleworks_tpu.parallel.proof_pipeline.prove_indexed_stream`
+        against one SRS at ``pp.srs_scale`` — the block-level form of the
+        reference's serial per-tx prove+verify
+        (transaction.rs:89-139).  Returns ``(verdicts, proof_bytes)``
+        where ``proof_bytes[i]`` is the serialized proof or None
+        (malformed / failed tx), and verdicts additionally require the
+        Marlin verify to accept."""
         from ...fields.bls12_377 import ConstraintF
         from ...parallel import default_mesh
         from ...parallel.witness_dp import sharded_check_host
@@ -134,6 +146,7 @@ class State:
         host_ok: list[bool] = []
         assignments = []
         circuit_rows: list[int] = []  # tx index of each batched assignment
+        circuits = []  # the synthesized cs per batched row (reused by prove)
         cs0 = None
         for i, tx in enumerate(txs):
             sender_info = self.id_to_account_info.get(tx.sender)
@@ -166,12 +179,34 @@ class State:
                 cs0 = cs
             assignments.append(cs.full_assignment())
             circuit_rows.append(i)
+            circuits.append(cs)
 
         if cs0 is not None:
             sat = sharded_check_host(mesh, axis_name, cs0, assignments)
             for row, ok in zip(circuit_rows, sat):
                 host_ok[row] = host_ok[row] and bool(ok)
-        return host_ok
+        if not prove:
+            return host_ok
+
+        from ... import marlin
+        from ...marlin.serialization import serialize_proof
+        from ...parallel.proof_pipeline import prove_indexed_stream
+        from ...utils.rng import test_rng
+
+        srs = marlin.universal_setup(*pp.srs_scale, rng or test_rng())
+        to_prove = [
+            (row, cs)
+            for row, cs in zip(circuit_rows, circuits)
+            if host_ok[row]
+        ]
+        proofs: list[Optional[bytes]] = [None] * len(txs)
+        results = prove_indexed_stream(
+            srs, [cs for _, cs in to_prove], max_in_flight=max_in_flight
+        )
+        for (row, _cs), (proof, ok) in zip(to_prove, results):
+            host_ok[row] = host_ok[row] and bool(ok)
+            proofs[row] = serialize_proof(proof) if ok else None
+        return host_ok, proofs
 
     def apply_transaction(self, pp: Parameters, tx, rng) -> Optional[bool]:
         """reference ledger.rs:176-193."""

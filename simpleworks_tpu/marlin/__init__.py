@@ -48,6 +48,13 @@ GAMMA_POLYS = [
     "row_c", "col_c", "val_c",
 ]
 INDEX_POLYS = GAMMA_POLYS[2:]
+#: proof-evaluation ordering: ark-marlin sorts the (label, value) pairs by
+#: label string before storing them in ``Proof.evaluations`` and before
+#: absorbing them into the Fiat-Shamir transcript (ark-marlin 0.3 prove:
+#: ``evaluations.sort_by(|a, b| a.0.cmp(&b.0))``); adopted here for both
+#: (VERDICT r3 #4 — the label vocabulary itself still differs where our
+#: AHP does, see docs/compatibility.md)
+EVALUATION_ORDER = sorted(BETA_POLYS + GAMMA_POLYS)
 
 
 @dataclass
@@ -66,14 +73,14 @@ class IndexVerifierKey:
 
     def transcript_bytes(self) -> bytes:
         """The vk's Fiat-Shamir contribution, mirroring ark-marlin's
-        ``ToBytes for IndexVerifierKey`` shape: index info (u64 LE fields)
-        followed by the nine index commitments in indexer-polynomial order
-        (a_row..c_val)."""
+        ``ToBytes for IndexVerifierKey`` shape: the IndexInfo field set
+        (num_variables, num_constraints, num_non_zero as u64 LE — ark's
+        IndexInfo ToBytes) followed by the nine index commitments in
+        indexer-polynomial order (a_row..c_val)."""
         meta = (
-            self.info.domain_h_size.to_bytes(8, "little")
-            + self.info.domain_k_size.to_bytes(8, "little")
-            + self.info.num_instance_padded.to_bytes(8, "little")
-            + self.srs_max_degree.to_bytes(8, "little")
+            self.info.num_variables.to_bytes(8, "little")
+            + self.info.num_constraints.to_bytes(8, "little")
+            + self.info.num_non_zero.to_bytes(8, "little")
         )
         data = b"".join(
             self.index_commitments[name].serialize() for name in INDEX_POLYS
@@ -268,7 +275,7 @@ def prove(pk: IndexProverKey, cs, rng=None) -> MarlinProof:
     # sanity: the inner sumcheck claim is the opened t(β)
     ensure(evaluations["t"] == r3.sigma_2 % P, "inner sumcheck claim != opened t(β)")
 
-    fs.absorb(b"".join(Fr(evaluations[n]).serialize() for n in BETA_POLYS + GAMMA_POLYS))
+    fs.absorb(b"".join(Fr(evaluations[n]).serialize() for n in EVALUATION_ORDER))
     xi = fs.squeeze_field_element()
 
     all_comms = dict(comms)
@@ -319,7 +326,7 @@ def verify(vk: IndexVerifierKey, public_inputs: list[int], proof: MarlinProof, r
         fs.absorb(b"".join(comms[n].serialize() for n in ["g_2", "h_2"]))
         gamma = fs.squeeze_field_element()
         evals = proof.evaluations
-        fs.absorb(b"".join(Fr(evals[n]).serialize() for n in BETA_POLYS + GAMMA_POLYS))
+        fs.absorb(b"".join(Fr(evals[n]).serialize() for n in EVALUATION_ORDER))
         xi = fs.squeeze_field_element()
     except KeyError:
         return False

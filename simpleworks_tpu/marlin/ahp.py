@@ -88,6 +88,14 @@ class IndexInfo:
     domain_h_size: int        # n
     domain_k_size: int        # m
     max_degree: int
+    # ark-marlin's IndexInfo field set (num_variables / num_constraints /
+    # num_non_zero — the serde + Fiat-Shamir vocabulary, ark-marlin 0.3
+    # indexer.rs via reference src/marlin/serialization.rs:14-26).  The
+    # domain sizes above are derived: n = next_pow2(max(nc, nv, 2)),
+    # m = next_pow2(max(nnz, 2)).
+    num_variables: int = 0    # ℓ + |witness| (the formatted column count)
+    num_constraints: int = 0
+    num_non_zero: int = 0
 
 
 @dataclass
@@ -161,6 +169,9 @@ def index_matrices(cs, raw=None) -> Index:
         domain_h_size=n,
         domain_k_size=m,
         max_degree=max(3 * n - 1, 6 * m - 6),
+        num_variables=num_cols_h,
+        num_constraints=cs.num_constraints,
+        num_non_zero=max((len(r[0]) for r in raw), default=1),
     )
     return Index(info=info, matrices=matrices)
 

@@ -29,6 +29,7 @@ from ..curves.bls12_377 import G1Point
 from ..fields.bls12_377 import FR_MODULUS
 from ..fields.frvec import FrVec
 from ..ops import g1_limb
+from .multihost import fetch_global, put_global
 from ..ops.msm_pippenger import (
     SCALAR_BITS,
     _round_up_depth,
@@ -283,7 +284,7 @@ def sharded_msm_native(mesh: Mesh, axis_name: str, powers_native: np.ndarray,
     pts[:n] = powers_native[offset : offset + n]
     std = np.zeros((target, 4), dtype="<u8")
     std[:n] = scalars_std
-    xyz_dev = jax.device_put(
+    xyz_dev = put_global(
         g1_limb.native_points_to_limb_major(pts),
         NamedSharding(mesh, P(None, None, axis_name)),
     )
@@ -299,10 +300,11 @@ def sharded_msm_native(mesh: Mesh, axis_name: str, powers_native: np.ndarray,
         )
         wins = run(
             xyz_dev,
-            jax.device_put(
+            put_global(
                 jnp.asarray(np.ascontiguousarray(blocks[:, window_ids])), grid_spec
             ),
         )
+        wins = [fetch_global(a) for a in wins]
         for w, pt in zip(window_ids, g1_limb.points_from_limb_major(wins)):
             window_points[w] = pt
     total = G1Point.identity()
@@ -332,7 +334,7 @@ def sharded_msm_host(mesh: Mesh, axis_name: str, points: list[G1Point],
     scs = [int(s) % FR_MODULUS for s in scalars] + [0] * (target - n)
     std = FrVec.from_ints(scs).to_std_array()
     xyz = np.stack([np.asarray(a) for a in _points_to_stacked(pts)])
-    xyz_dev = jax.device_put(
+    xyz_dev = put_global(
         jnp.asarray(xyz), NamedSharding(mesh, P(None, None, axis_name))
     )
     grid_spec = NamedSharding(mesh, P(axis_name, None, None))
@@ -350,11 +352,12 @@ def sharded_msm_host(mesh: Mesh, axis_name: str, points: list[G1Point],
             )
             wins = run(
                 xyz_dev,
-                jax.device_put(
+                put_global(
                     jnp.asarray(np.ascontiguousarray(blocks[:, window_ids])),
                     grid_spec,
                 ),
             )
+            wins = [fetch_global(a) for a in wins]
             for w, pt in zip(window_ids, g1_limb.points_from_limb_major(wins)):
                 window_points[w] = pt
     else:
@@ -363,9 +366,10 @@ def sharded_msm_host(mesh: Mesh, axis_name: str, points: list[G1Point],
             run = make_sharded_msm(mesh, axis_name, len(window_ids), segs, b_g)
             wins = run(
                 xyz_dev,
-                jax.device_put(jnp.asarray(idx), grid_spec),
-                jax.device_put(jnp.asarray(valid), grid_spec),
+                put_global(jnp.asarray(idx), grid_spec),
+                put_global(jnp.asarray(valid), grid_spec),
             )
+            wins = [fetch_global(a) for a in wins]
             for w, pt in zip(window_ids, g1_limb.points_from_limb_major(wins)):
                 window_points[w] = pt
     total = G1Point.identity()

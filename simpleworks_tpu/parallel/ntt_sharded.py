@@ -26,6 +26,7 @@ from jax import shard_map
 from ..fields.bls12_377 import FR_MODULUS, Fr, fr_root_of_unity
 from ..fields.pack import pack_standard
 from ..poly.ntt_device import fr_device_field, DeviceNTT, get_device_ntt
+from .multihost import fetch_global, put_global
 
 MOD = FR_MODULUS
 
@@ -140,11 +141,11 @@ def sharded_transform_vec(mesh: Mesh, axis_name: str, v, inverse: bool = False):
         if len(_TRANSFORM_MEMO) >= 32:
             _TRANSFORM_MEMO.pop(next(iter(_TRANSFORM_MEMO)))
         _TRANSFORM_MEMO[key] = run
-    x = jax.device_put(
+    x = put_global(
         jnp.asarray(v.to_device_limbs().reshape(n1, n2, -1)),
         NamedSharding(mesh, P(None, axis_name, None)),
     )
-    c = np.asarray(jax.device_get(run(x)))  # [n1, n2, L]; X[k1 + n1·k2]
+    c = fetch_global(run(x))  # [n1, n2, L]; X[k1 + n1·k2]
     return FrVec.from_device_limbs(c.swapaxes(0, 1).reshape(n, -1))
 
 
@@ -157,10 +158,10 @@ def sharded_ntt_host(mesh: Mesh, axis_name: str, values: list[int]) -> list[int]
     R = Fr.PARAMS.montgomery_r
     packed = pack_standard([v * R % MOD for v in values], Fr.PARAMS).reshape(n1, n2, -1)
     run, _ = make_sharded_ntt(mesh, axis_name, n1, n2)
-    x = jax.device_put(
+    x = put_global(
         jnp.asarray(packed), NamedSharding(mesh, P(None, axis_name, None))
     )
-    c = np.asarray(run(x))  # [n1, n2, L], X[k1 + n1·k2] = C[k1][k2]
+    c = fetch_global(run(x))  # [n1, n2, L], X[k1 + n1·k2] = C[k1][k2]
     from ..fields.pack import unpack_standard
 
     flat = c.swapaxes(0, 1).reshape(n, -1)  # index k1 fastest

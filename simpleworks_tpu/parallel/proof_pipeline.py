@@ -204,3 +204,50 @@ def prove_stream(
         max_in_flight=max_in_flight,
     )
     return (results, stats) if with_stats else results
+
+
+def prove_indexed_stream(
+    srs,
+    circuits: Iterable,
+    max_in_flight: int = 3,
+    rng_factory: Optional[Callable[[], object]] = None,
+    verify: bool = True,
+    with_stats: bool = False,
+):
+    """Index + prove (+ verify) a stream of already-synthesized circuits
+    against one SRS, pipelined: the index stage (Python-side matrix
+    arithmetization, memoized per circuit shape by ``marlin.index``)
+    overlaps with the prove stage's native/device hot loops.
+
+    This is the PP half of block-level proven validation
+    (``State.validate_block(prove=True)``): the DP axis batch-checks the
+    witnesses, this pipelines the per-item Marlin proves — the reference
+    proves each transaction serially inside ``Transaction::validate``
+    (reference examples/simple-payments/transaction.rs:89-139,
+    ledger.rs:176-193).
+
+    Public inputs for the verify leg are taken from each circuit's
+    instance assignment (sans the leading One, arkworks convention).
+    Returns a list of ``(proof, verify_ok)`` in input order.
+    """
+    from .. import marlin as _marlin
+
+    def index_stage(cs):
+        pk, vk = _marlin.index(srs, cs)
+        return cs, pk, vk
+
+    def prove_stage(item):
+        cs, pk, vk = item
+        rng = rng_factory() if rng_factory is not None else None
+        proof = _marlin.prove(pk, cs, rng)
+        ok = True
+        if verify:
+            ok = _marlin.verify(vk, list(cs.instance_assignment[1:]), proof)
+        return proof, ok
+
+    results, stats = run_pipeline(
+        list(circuits),
+        [("index", index_stage), ("prove", prove_stage)],
+        max_in_flight=max_in_flight,
+    )
+    return (results, stats) if with_stats else results

@@ -15,6 +15,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..r1cs.satisfiability import DeviceR1CS
+from .multihost import fetch_global, put_global
 
 
 def make_sharded_checker(mesh: Mesh, axis_name: str, device_r1cs: DeviceR1CS):
@@ -47,6 +48,6 @@ def sharded_check_host(mesh: Mesh, axis_name: str, cs, assignments) -> list[bool
         batch.append(sat_row)  # pad with a known-satisfying row
     z = jnp.stack([jnp.asarray(b) for b in batch])
     run = make_sharded_checker(mesh, axis_name, dev)
-    z = jax.device_put(z, NamedSharding(mesh, P(axis_name, None, None)))
+    z = put_global(z, NamedSharding(mesh, P(axis_name, None, None)))
     ok, _total = run(z)
-    return list(np.asarray(ok))[:n]
+    return list(fetch_global(ok))[:n]

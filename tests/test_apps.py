@@ -132,6 +132,56 @@ def test_vk_serialization_round_trip(small_proof):
     assert not marlin.verify(vk2, [4], proof)
 
 
+def test_vk_layout_ark_index_info_fields(small_proof):
+    """vk bytes lead with ark-marlin's IndexInfo field set — num_variables,
+    num_constraints, num_non_zero (u64 LE, ark-marlin 0.3 indexer.rs via
+    reference src/marlin/serialization.rs:14-26) — plus the trailing
+    num_instance; domain sizes are derived, not stored (VERDICT r3 #4)."""
+    import struct
+
+    vk, _proof = small_proof
+    nv, nc, nnz, n_inst = struct.unpack_from("<4Q", serialize_verifying_key(vk), 0)
+    assert (nv, nc, nnz, n_inst) == (
+        vk.info.num_variables,
+        vk.info.num_constraints,
+        vk.info.num_non_zero,
+        vk.info.num_instance,
+    )
+    assert nv > 0 and nc > 0 and nnz > 0
+    vk2 = deserialize_verifying_key(serialize_verifying_key(vk))
+    assert vk2.info == vk.info
+
+
+def test_proof_evaluations_label_sorted(small_proof):
+    """Proof.evaluations ordering is ark's label-sorted order (ark-marlin
+    0.3 prove sorts (label, eval) pairs by label before serializing and
+    before the Fiat-Shamir absorb)."""
+    from simpleworks_tpu.marlin.serialization import ALL_EVALS
+    from simpleworks_tpu.marlin import EVALUATION_ORDER
+    from simpleworks_tpu.fields.bls12_377 import Fr
+
+    assert ALL_EVALS == sorted(ALL_EVALS) == EVALUATION_ORDER
+    vk, proof = small_proof
+    data = serialize_proof(proof)
+    # evaluations sit after the commitment rounds: recompute the offset
+    import struct as _s
+
+    off = 8
+    for _ in range(3):
+        (n_comms,) = _s.unpack_from("<Q", data, off)
+        off += 8
+        for _ in range(n_comms):
+            off += 49 + (48 if data[off + 48] else 0)
+    (n_evals,) = _s.unpack_from("<Q", data, off)
+    off += 8
+    assert n_evals == len(ALL_EVALS)
+    got = [
+        Fr.deserialize(data[off + 32 * i : off + 32 * (i + 1)]).value
+        for i in range(n_evals)
+    ]
+    assert got == [proof.evaluations[n] for n in ALL_EVALS]
+
+
 # ------------------------------------------------------- observability ----
 
 
@@ -222,6 +272,29 @@ def test_proof_pipeline_matches_serial():
     fns = [lambda v=v: manual_constraints.synthesize(v, v) for v in values]
     piped = prove_stream(pk, fns, rng_factory=test_rng)
     assert [serialize_proof(p) for p in piped] == serial
+
+
+def test_prove_indexed_stream_matches_sequential():
+    """The indexed prove pipeline (the PP half of proven-block validation,
+    VERDICT r3 #7) produces proof bytes identical to the sequential
+    index-then-prove path, verifies against the circuits' own public
+    inputs, and handles heterogeneous instances in one stream."""
+    from simpleworks_tpu.examples import manual_constraints
+    from simpleworks_tpu.marlin.serialization import serialize_proof
+    from simpleworks_tpu.parallel.proof_pipeline import prove_indexed_stream
+
+    srs = marlin.universal_setup(100, 25, 300, marlin.generate_rand())
+    values = (3, 7, 11)
+    circuits = [manual_constraints.synthesize(v, v) for v in values]
+    sequential = []
+    for cs in circuits:
+        pk, vk = marlin.index(srs, cs)
+        proof = marlin.prove(pk, cs)
+        sequential.append(serialize_proof(proof))
+        assert marlin.verify(vk, list(cs.instance_assignment[1:]), proof)
+    results = prove_indexed_stream(srs, circuits)
+    assert [ok for _p, ok in results] == [True, True, True]
+    assert [serialize_proof(p) for p, _ok in results] == sequential
 
 
 def test_proof_pipeline_propagates_errors():

@@ -222,3 +222,57 @@ def test_sharded_ntt_fullscale_2_16(mesh):
     back = sharded_transform_vec(mesh, "shard", got, inverse=True)
     n_inv = pow(n, FR_MODULUS - 2, FR_MODULUS)
     assert back.scale(n_inv).to_ints() == values
+
+
+def test_prove_bytes_multiprocess(monkeypatch):
+    """Multi-host smoke (VERDICT r3 #5 — the DCN slot of SURVEY §2.4/§5.8):
+    two local processes join a ``jax.distributed`` job (Gloo collectives),
+    form a global 2-host x 4-device mesh, and each runs the FULL sharded
+    Marlin prove through the production accel router.  Both processes'
+    proof bytes must equal the single-process host-path bytes — the
+    multi-host prover is proof-invisible, like every other routing axis."""
+    import subprocess
+    import sys
+
+    from simpleworks_tpu import marlin
+    from simpleworks_tpu.marlin.serialization import serialize_proof
+
+    # single-process reference bytes (host path, no mesh routing)
+    srs = marlin.universal_setup(128, 128, 128, marlin.generate_rand())
+    cs, x = _square_chain_cs(120)
+    pk, vk = marlin.index(srs, cs)
+    proof = marlin.prove(pk, cs)
+    host_bytes = serialize_proof(proof)
+    assert marlin.verify(vk, [x], proof)
+
+    import os
+
+    port = 19700 + os.getpid() % 500
+    coordinator = f"localhost:{port}"
+    script = os.path.join(os.path.dirname(__file__), "multihost_child.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # the child pins its own 4-device flag
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, coordinator, str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(script))),
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=1500)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err.decode()[-3000:]
+        outs.append(out.decode())
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("PROOF_HEX:")]
+        assert lines, out[-2000:]
+        assert bytes.fromhex(lines[-1][len("PROOF_HEX:"):]) == host_bytes
