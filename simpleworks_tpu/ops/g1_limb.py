@@ -139,6 +139,63 @@ class FqLimb:
         """cond: [B] bool; a/b: [24, B]."""
         return jnp.where(cond[None, :], a, b)
 
+    def inv(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Elementwise Fermat inverse x^(q-2) on [24, B] Montgomery limbs
+        (0 maps to 0).  TPU path: ONE Pallas kernel holding the whole
+        754-step square-and-multiply chain in VMEM; CPU fallback: the XLA
+        mul in a fori_loop."""
+        if self._use_pallas:
+            from .mont_mul_pallas import make_mont_pow
+
+            x_p, B = self._pad_batch(x)
+            fn = make_mont_pow(Fq.PARAMS, Q - 2, tile=self._tile)
+            return fn(x_p)[:, :B]
+        from ..curves.g1_device import fq_device_field
+
+        df = fq_device_field()
+        xm = jnp.moveaxis(x, 0, -1)  # [B, L]
+        one = jnp.broadcast_to(jnp.asarray(self.one_np).reshape(1, L), xm.shape)
+        bits = jnp.asarray(
+            [int(b) for b in bin(Q - 2)[2:]], dtype=jnp.uint32
+        )
+
+        def body(i, acc):
+            sq = df.mul(acc, acc)
+            withx = df.mul(sq, xm)
+            return jnp.where(bits[i] > 0, withx, sq)
+
+        out = jax.lax.fori_loop(0, bits.shape[0], body, one)
+        return jnp.moveaxis(out, -1, 0)
+
+    def batch_inverse(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Elementwise inverses of a NONZERO [24, B] batch via Montgomery's
+        trick on a halving product tree: ~3 muls/lane plus one Fermat
+        powering of a single ``tile``-wide remainder — the batched-affine
+        MSM's per-scan-step inversion (a zero lane would poison its whole
+        subtree; callers mask degenerate lanes to one first)."""
+        B = x.shape[1]
+        base = self._tile
+        if B <= base:
+            return self.inv(x)
+        b_pad = base
+        while b_pad < B:
+            b_pad <<= 1
+        if b_pad != B:
+            ones = jnp.broadcast_to(jnp.asarray(self.one_np), (L, b_pad - B))
+            cur = jnp.concatenate([x, ones], axis=1)
+        else:
+            cur = x
+        halves = []
+        while cur.shape[1] > base:
+            h = cur.shape[1] // 2
+            a, b = cur[:, :h], cur[:, h:]
+            halves.append((a, b))
+            cur = self.mul(a, b)
+        inv = self.inv(cur)
+        for a, b in reversed(halves):
+            inv = jnp.concatenate([self.mul(inv, b), self.mul(inv, a)], axis=1)
+        return inv[:, :B]
+
 
 @lru_cache(maxsize=2)
 def fq_limb(tile: int = 512) -> FqLimb:
@@ -275,6 +332,79 @@ def _madd_composed(p, q_affine):
     out = select_point(p_ident, (X2, Y2, one), out)
     out = select_point(q_ident, p, out)
     return out
+
+
+def affine_madd(acc, q_affine, valid):
+    """Branchless complete AFFINE + affine addition — the batch-affine MSM
+    accumulate step (VERDICT r3 #3; the device twin of the host C++
+    ``swtpu_g1_msm_affine`` scheme, csrc/swtpu_native.cpp).
+
+    ``acc``/``q_affine``: (X, Y) pairs of [24, B] Montgomery limbs with
+    x = y = 0 encoding the identity; ``valid``: [B] lane mask (invalid
+    lanes keep ``acc``).  One shared batched inversion (Montgomery tree +
+    single Fermat-powering kernel) replaces the per-lane division:
+
+        λ   = (y2−y1)/(x2−x1)          (general;  3x1²/(2y1) when doubling)
+        x3  = λ² − x1 − x2
+        y3  = λ(x1−x3) − y1
+
+    ≈ 4 muls + ~3 amortized inversion muls per lane vs the 11-mul mixed
+    add — the edge rows (identities, equal-x) resolve via selects with the
+    denominator masked to 1 so they never poison the inversion tree.
+    Bit-exact with the madd path (tests/test_msm_device.py)."""
+    f = fq_limb()
+    x1, y1 = acc
+    x2, y2 = q_affine
+    B = x1.shape[1]
+
+    acc_inf = f.is_zero(x1) & f.is_zero(y1)
+    q_inf = (f.is_zero(x2) & f.is_zero(y2)) | ~valid
+    dx = f.sub(x2, x1)
+    dy = f.sub(y2, y1)
+    x_eq = f.is_zero(dx)
+    dbl = x_eq & f.is_zero(dy) & ~acc_inf & ~q_inf
+
+    x1sq = f.mul(x1, x1)
+    num = f.select(dbl, f.add(f.dbl(x1sq), x1sq), dy)   # 3x1² | y2−y1
+    den = f.select(dbl, f.dbl(y1), dx)                  # 2y1  | x2−x1
+    # lanes whose result comes from a select, or whose denominator is 0
+    # (adding P to −P, doubling a 2-torsion point): invert 1 instead
+    degenerate = acc_inf | q_inf | f.is_zero(den)
+    one = jnp.broadcast_to(jnp.asarray(f.one_np), (L, B))
+    inv = f.batch_inverse(f.select(degenerate, one, den))
+
+    lam = f.mul(num, inv)
+    x3 = f.sub(f.sub(f.mul(lam, lam), x1), x2)
+    y3 = f.sub(f.mul(lam, f.sub(x1, x3)), y1)
+
+    # identity output: x1 == x2 with y1 != y2 (P + (−P)), or doubling a
+    # y = 0 point — both have den == 0 among the non-identity lanes
+    iden_out = f.is_zero(den) & ~acc_inf & ~q_inf
+    zero = jnp.zeros((L, B), jnp.uint32)
+    rx = f.select(iden_out, zero, x3)
+    ry = f.select(iden_out, zero, y3)
+    rx = f.select(acc_inf, x2, rx)
+    ry = f.select(acc_inf, y2, ry)
+    rx = f.select(q_inf, x1, rx)
+    ry = f.select(q_inf, y1, ry)
+    return rx, ry
+
+
+def affine_to_jacobian(acc):
+    """(X, Y) with x = y = 0 identity -> Jacobian (X, Y, Z) with Z = 0
+    identity (the fold/suffix stages' representation)."""
+    f = fq_limb()
+    x, y = acc
+    B = x.shape[1]
+    is_id = f.is_zero(x) & f.is_zero(y)
+    one = jnp.broadcast_to(jnp.asarray(f.one_np), (L, B))
+    zero = jnp.zeros((L, B), jnp.uint32)
+    ix, iy, iz = identity(B)
+    return (
+        f.select(is_id, ix, x),
+        f.select(is_id, iy, y),
+        f.select(is_id, zero, one),
+    )
 
 
 def _add_composed(p, q):

@@ -25,11 +25,10 @@ from ..fields.host import FieldParams
 TILE = 512
 
 
-def _mont_mul_kernel(a_ref, b_ref, p_ref, out_ref, *, n_limbs: int, n0: int):
+def _mul_body(a, b, p, *, n_limbs: int, n0: int):
+    """Schoolbook + REDC Montgomery product of [L, T] limb tiles (the
+    shared in-VMEM body of the mul and pow kernels)."""
     L = n_limbs
-    a = a_ref[...]  # [L, T]
-    b = b_ref[...]
-    p = p_ref[...]  # [L, 1] broadcastable
     mask = jnp.uint32(LIMB_MASK)
     T = a.shape[1]
     zero_row = jnp.zeros((1, T), jnp.uint32)
@@ -77,7 +76,32 @@ def _mont_mul_kernel(a_ref, b_ref, p_ref, out_ref, *, n_limbs: int, n0: int):
     # extra==0 ⇒ answer = res − p iff res ≥ p (no borrow).
     diff, borrow = sub_p(res_arr)
     use_diff = (extra > 0) | (borrow == 0)
-    out_ref[...] = jnp.where(use_diff, diff, res_arr)
+    return jnp.where(use_diff, diff, res_arr)
+
+
+def _mont_mul_kernel(a_ref, b_ref, p_ref, out_ref, *, n_limbs: int, n0: int):
+    out_ref[...] = _mul_body(
+        a_ref[...], b_ref[...], p_ref[...], n_limbs=n_limbs, n0=n0
+    )
+
+
+def _mont_pow_kernel(x_ref, bits_ref, p_ref, one_ref, out_ref, *,
+                     n_limbs: int, n0: int, n_bits: int):
+    """Elementwise x^e (fixed exponent, MSB-first square-and-multiply) on a
+    [L, T] Montgomery tile, the whole chain inside ONE kernel — the root
+    inversion of the batched-affine MSM's Montgomery trick would otherwise
+    cost ~750 separate kernel launches per scan step."""
+    x = x_ref[...]
+    p = p_ref[...]
+    one = jnp.broadcast_to(one_ref[...], x.shape)
+
+    def body(i, acc):
+        sq = _mul_body(acc, acc, p, n_limbs=n_limbs, n0=n0)
+        withx = _mul_body(sq, x, p, n_limbs=n_limbs, n0=n0)
+        bit = bits_ref[i]
+        return jnp.where(bit > 0, withx, sq)
+
+    out_ref[...] = jax.lax.fori_loop(0, n_bits, body, one)
 
 
 def _mod_add_kernel(a_ref, b_ref, p_ref, out_ref, *, n_limbs: int):
@@ -158,6 +182,47 @@ def make_mod_addsub(params: FieldParams, tile: int = TILE):
         return op
 
     return build(_mod_add_kernel), build(_mod_sub_kernel)
+
+
+@lru_cache(maxsize=8)
+def make_mont_pow(params: FieldParams, exponent: int, tile: int = TILE):
+    """Returns fn(x) computing elementwise x^exponent on limb-major [L, B]
+    uint32 Montgomery arrays (B % tile == 0), as a single Pallas kernel
+    with the square-and-multiply chain in VMEM."""
+    import numpy as np
+
+    L = params.repr_bits // LIMB_BITS
+    p_limbs_np = np.asarray(int_to_limbs(params.modulus, L)).reshape(L, 1)
+    one_np = np.asarray(
+        int_to_limbs(params.montgomery_r % params.modulus, L)
+    ).reshape(L, 1)
+    n0 = (-pow(params.modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+    bits_np = np.asarray(
+        [int(b) for b in bin(exponent)[2:]], dtype=np.int32
+    )  # MSB first
+    n_bits = bits_np.shape[0]
+
+    kernel = partial(_mont_pow_kernel, n_limbs=L, n0=n0, n_bits=n_bits)
+
+    @jax.jit
+    def mont_pow(x):
+        B = x.shape[1]
+        if B % tile:
+            raise ValueError(f"batch {B} not divisible by tile {tile}")
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((L, B), jnp.uint32),
+            grid=(B // tile,),
+            in_specs=[
+                pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        )(x, jnp.asarray(bits_np), jnp.asarray(p_limbs_np), jnp.asarray(one_np))
+
+    return mont_pow
 
 
 @lru_cache(maxsize=4)

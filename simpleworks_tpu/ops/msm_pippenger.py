@@ -149,14 +149,26 @@ def build_schedule(scalars_std: np.ndarray, c: int, offset: int = 0):
 
 
 def accumulate_windows(XYZ, idx, valid, w_count: int, segs: int, b: int,
-                       axis_name: str | None = None):
+                       axis_name: str | None = None, accum: str | None = None):
     """(XYZ [3, 24, n_local], idx [D, W·S·B], valid) -> ([24, W],)*3 window
     sums.  The graph stays small — a handful of point-add subgraphs —
     because the D accumulation steps (lax.scan), the log₂(S) segment folds
     (unrolled halving), and the 2·log₂(B) bucket-combine steps
     (lax.fori_loop with a dynamic-slice shift) each trace their point add
     once.  ``axis_name``: set inside shard_map so loop carries acquire the
-    mesh-varying type."""
+    mesh-varying type.
+
+    ``accum`` selects the scan-step point add (env ``SWTPU_MSM_ACCUM``):
+    ``"affine"`` (default) keeps the accumulator affine and does
+    batch-affine adds — ~4 muls + one shared batched inversion
+    (~3 muls/lane + a single Fermat-powering kernel) per step vs the
+    ``"madd"`` path's 11-mul Jacobian mixed add (kept as the oracle) —
+    the device analogue of the host C++ batch-affine scheme
+    (VERDICT r3 #3)."""
+    import os
+
+    if accum is None:
+        accum = os.environ.get("SWTPU_MSM_ACCUM", "affine")
     log_b = b.bit_length() - 1
 
     def vary(t3):
@@ -187,24 +199,39 @@ def accumulate_windows(XYZ, idx, valid, w_count: int, segs: int, b: int,
         return jax.lax.fori_loop(0, log_b, body, t)
 
     lanes = w_count * segs * b
-    acc = vary(g1_limb.identity(lanes))
 
     # Row-major copy for the scan's gathers: TPU gathers are fast along the
     # LEADING axis (whole point rows) and ~6x slower along the lane (minor)
     # axis — measured 0.7 ms vs 4.4 ms per 63k-point gather on v5e.  Points
     # are AFFINE (Z == 1 by the limb-major packing invariant; identity rows
-    # x = y = 0), so only X, Y are gathered (192 bytes/row, −33%) and each
-    # step is a mixed add (g1_limb.madd, 11 muls vs 16).
+    # x = y = 0), so only X, Y are gathered (192 bytes/row, −33%).
     rows = XYZ[:2].reshape(2 * 24, -1).T  # [n, 48]
 
-    def step(acc, xs):
-        idx_d, valid_d = xs
-        g = jnp.take(rows, idx_d, axis=0)  # [lanes, 48] — leading-axis gather
-        pts2 = g.T.reshape(2, 24, -1)
-        added = g1_limb.madd(acc, (pts2[0], pts2[1]))
-        return g1_limb.select_point(valid_d, added, acc), None
+    if accum == "affine":
+        zero = jnp.zeros((24, lanes), jnp.uint32)
+        acc2 = (zero, zero)  # affine identity = (0, 0)
+        if axis_name is not None:
+            acc2 = tuple(jax.lax.pvary(a, (axis_name,)) for a in acc2)
 
-    acc, _ = jax.lax.scan(step, acc, (idx, valid))
+        def step2(acc2, xs):
+            idx_d, valid_d = xs
+            g = jnp.take(rows, idx_d, axis=0)  # [lanes, 48]
+            pts2 = g.T.reshape(2, 24, -1)
+            return g1_limb.affine_madd(acc2, (pts2[0], pts2[1]), valid_d), None
+
+        acc2, _ = jax.lax.scan(step2, acc2, (idx, valid))
+        acc = g1_limb.affine_to_jacobian(acc2)
+    else:
+        acc = vary(g1_limb.identity(lanes))
+
+        def step(acc, xs):
+            idx_d, valid_d = xs
+            g = jnp.take(rows, idx_d, axis=0)  # [lanes, 48]
+            pts2 = g.T.reshape(2, 24, -1)
+            added = g1_limb.madd(acc, (pts2[0], pts2[1]))
+            return g1_limb.select_point(valid_d, added, acc), None
+
+        acc, _ = jax.lax.scan(step, acc, (idx, valid))
 
     # fold the segment axis: [24, W, S, B] -> [24, W, B]
     s = segs
@@ -232,11 +259,12 @@ def accumulate_windows(XYZ, idx, valid, w_count: int, segs: int, b: int,
 
 
 @lru_cache(maxsize=16)
-def _make_accumulate(n_points: int, depth: int, w_count: int, segs: int, b: int):
+def _make_accumulate(n_points: int, depth: int, w_count: int, segs: int, b: int,
+                     accum: str = "affine"):
     """Jitted single-chip wrapper around :func:`accumulate_windows`."""
 
     def run(XYZ, idx, valid):
-        return accumulate_windows(XYZ, idx, valid, w_count, segs, b)
+        return accumulate_windows(XYZ, idx, valid, w_count, segs, b, accum=accum)
 
     return jax.jit(run)
 
@@ -331,14 +359,15 @@ def device_grid_from_digits(digits_g: jnp.ndarray, n: int, depth: int,
 
 @lru_cache(maxsize=16)
 def _make_accumulate_digits(n_points: int, n_scalars: int, depth: int,
-                            w_count: int, segs: int, b: int, offset: int):
+                            w_count: int, segs: int, b: int, offset: int,
+                            accum: str = "affine"):
     """Jitted: (XYZ, [g, N] digits) -> window sums, grid built on device."""
 
     def run(XYZ, digits_g):
         idx, valid = device_grid_from_digits(
             digits_g.astype(jnp.int32), n_scalars, depth, segs, b, offset
         )
-        return accumulate_windows(XYZ, idx, valid, w_count, segs, b)
+        return accumulate_windows(XYZ, idx, valid, w_count, segs, b, accum=accum)
 
     return jax.jit(run)
 
@@ -369,6 +398,7 @@ def msm_device(points_lm, scalars_std: np.ndarray, c: int | None = None,
         c = _auto_window_bits(n)
     if schedule is None:
         schedule = os.environ.get("SWTPU_MSM_SCHEDULE", "device")
+    accum = os.environ.get("SWTPU_MSM_ACCUM", "affine")
     w_count = (SCALAR_BITS + c - 1) // c
     XYZ = points_lm if not isinstance(points_lm, tuple) else jnp.stack(points_lm)
     window_points = [G1Point.identity()] * w_count
@@ -377,7 +407,8 @@ def msm_device(points_lm, scalars_std: np.ndarray, c: int | None = None,
         d_small = digits.astype(np.uint8 if c <= 8 else np.uint16)
         for window_ids, segs, b_g, depth in build_schedule_meta(digits, c):
             fn = _make_accumulate_digits(
-                XYZ.shape[2], n, depth, len(window_ids), segs, b_g, offset
+                XYZ.shape[2], n, depth, len(window_ids), segs, b_g, offset,
+                accum,
             )
             wins = fn(XYZ, jnp.asarray(d_small[window_ids]))
             for w, pt in zip(window_ids, g1_limb.points_from_limb_major(wins)):
@@ -386,7 +417,9 @@ def msm_device(points_lm, scalars_std: np.ndarray, c: int | None = None,
         for window_ids, segs, b_g, idx, valid in build_schedule(
             scalars_std, c, offset=offset
         ):
-            fn = _make_accumulate(XYZ.shape[2], idx.shape[0], len(window_ids), segs, b_g)
+            fn = _make_accumulate(
+                XYZ.shape[2], idx.shape[0], len(window_ids), segs, b_g, accum
+            )
             wins = fn(XYZ, jnp.asarray(idx), jnp.asarray(valid))
             for w, pt in zip(window_ids, g1_limb.points_from_limb_major(wins)):
                 window_points[w] = pt

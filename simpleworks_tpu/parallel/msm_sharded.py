@@ -19,6 +19,8 @@ W·N/P lane-adds times a small padding factor.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -140,7 +142,8 @@ def _tree_reduce_parts(parts, n_dev: int, w_count: int):
     return tuple(parts[0, i] for i in range(3))  # ([24, W],)*3
 
 
-def make_sharded_msm(mesh: Mesh, axis_name: str, w_count: int, segs: int, b: int):
+def make_sharded_msm(mesh: Mesh, axis_name: str, w_count: int, segs: int, b: int,
+                     accum: str = "affine"):
     """Jitted SPMD MSM stage for one window group: (XYZ [3, 24, N] sharded
     on points, idx/valid [n_dev, D, lanes] sharded on the leading axis) ->
     ([24, W],)*3 combined window sums (replicated small output)."""
@@ -148,7 +151,8 @@ def make_sharded_msm(mesh: Mesh, axis_name: str, w_count: int, segs: int, b: int
 
     def local_step(xyz, idx, valid):
         wins = accumulate_windows(
-            xyz, idx[0], valid[0], w_count, segs, b, axis_name=axis_name
+            xyz, idx[0], valid[0], w_count, segs, b, axis_name=axis_name,
+            accum=accum,
         )
         return jnp.stack(wins)[None]  # [1, 3, 24, W]
 
@@ -171,7 +175,8 @@ from functools import lru_cache
 
 @lru_cache(maxsize=32)
 def make_sharded_msm_digits(mesh: Mesh, axis_name: str, n_local: int,
-                            w_count: int, segs: int, b: int, depth: int):
+                            w_count: int, segs: int, b: int, depth: int,
+                            accum: str = "affine"):
     """Digits-schedule SPMD MSM stage: (XYZ [3, 24, N] sharded on points,
     digits [n_dev, g, per] u8/u16 sharded on the leading axis) ->
     ([24, W],)*3 combined window sums.  Each device argsorts its local
@@ -184,7 +189,7 @@ def make_sharded_msm_digits(mesh: Mesh, axis_name: str, n_local: int,
             digits_local[0].astype(jnp.int32), n_local, depth, segs, b, 0
         )
         wins = accumulate_windows(
-            xyz, idx, valid, w_count, segs, b, axis_name=axis_name
+            xyz, idx, valid, w_count, segs, b, axis_name=axis_name, accum=accum
         )
         return jnp.stack(wins)[None]  # [1, 3, 24, W]
 
@@ -296,7 +301,8 @@ def sharded_msm_native(mesh: Mesh, axis_name: str, powers_native: np.ndarray,
     window_points = [G1Point.identity()] * w_count
     for window_ids, segs, b_g, depth in build_sharded_meta(digits, c, n_dev):
         run = make_sharded_msm_digits(
-            mesh, axis_name, per, len(window_ids), segs, b_g, depth
+            mesh, axis_name, per, len(window_ids), segs, b_g, depth,
+            os.environ.get("SWTPU_MSM_ACCUM", "affine"),
         )
         wins = run(
             xyz_dev,
@@ -348,7 +354,8 @@ def sharded_msm_host(mesh: Mesh, axis_name: str, points: list[G1Point],
         blocks = d_small.reshape(w_count, n_dev, per).transpose(1, 0, 2)
         for window_ids, segs, b_g, depth in build_sharded_meta(digits, c, n_dev):
             run = make_sharded_msm_digits(
-                mesh, axis_name, per, len(window_ids), segs, b_g, depth
+                mesh, axis_name, per, len(window_ids), segs, b_g, depth,
+                os.environ.get("SWTPU_MSM_ACCUM", "affine"),
             )
             wins = run(
                 xyz_dev,
@@ -363,7 +370,10 @@ def sharded_msm_host(mesh: Mesh, axis_name: str, points: list[G1Point],
     else:
         w_count, groups = build_sharded_schedule(std, c, n_dev)
         for window_ids, segs, b_g, idx, valid in groups:
-            run = make_sharded_msm(mesh, axis_name, len(window_ids), segs, b_g)
+            run = make_sharded_msm(
+                mesh, axis_name, len(window_ids), segs, b_g,
+                os.environ.get("SWTPU_MSM_ACCUM", "affine"),
+            )
             wins = run(
                 xyz_dev,
                 put_global(jnp.asarray(idx), grid_spec),

@@ -113,6 +113,87 @@ def test_device_schedule_grid_covers_host_grid():
                 assert members == expected, (w, d)
 
 
+def test_affine_madd_edge_cases():
+    """The batch-affine accumulate step (g1_limb.affine_madd, VERDICT r3
+    #3) against the host oracle on every edge row: identities on either
+    side, doubling (equal points), P + (−P), and invalid lanes — the
+    cases the shared batched inversion must mask, not divide by."""
+    import jax.numpy as jnp
+
+    g = G1Point.generator()
+    p3, p5 = g.scalar_mul(3), g.scalar_mul(5)
+    ident = G1Point.identity()
+    cases = [
+        (p3, p5, True),          # generic add
+        (p3, p3, True),          # doubling
+        (p3, p3.neg(), True),    # P + (−P) -> identity
+        (ident, p5, True),       # left identity
+        (p3, ident, True),       # right identity
+        (ident, ident, True),    # both identity
+        (p3, p5, False),         # invalid lane keeps acc
+        (ident, p5, False),      # invalid lane keeps identity acc
+    ]
+    acc_pts = [a for a, _b, _v in cases]
+    q_pts = [b for _a, b, _v in cases]
+    valid = jnp.asarray([v for _a, _b, v in cases])
+    acc2 = g1_limb.points_to_limb_major_affine(acc_pts)[:2]
+    q2 = g1_limb.points_to_limb_major_affine(q_pts)[:2]
+    rx, ry = g1_limb.affine_madd(acc2, q2, valid)
+    got = g1_limb.points_from_limb_major(
+        g1_limb.affine_to_jacobian((rx, ry))
+    )
+    for (a, b, v), res in zip(cases, got):
+        expected = a.add(b) if v else a
+        assert res == expected, (a, b, v)
+
+
+def test_msm_accum_affine_matches_madd():
+    """The affine and madd accumulate modes produce identical group
+    elements (the madd path is the retained oracle)."""
+    n, c = 40, 8
+    pts = make_points(n)
+    pts[3] = pts[2]  # duplicate -> doubling inside a bucket chain
+    pts[5] = pts[4].neg()
+    scalars = [int.from_bytes(rng.bytes(33), "little") % FR_MODULUS for _ in range(n)]
+    scalars[4] = scalars[5] = 7  # P and −P share every window digit
+    lm = g1_limb.points_to_limb_major_affine(pts)
+    std = scalars_to_std(scalars)
+    expected = msm(pts, scalars)
+    import os
+
+    for mode in ("affine", "madd"):
+        os.environ["SWTPU_MSM_ACCUM"] = mode
+        try:
+            got = msm_pippenger.msm_device(lm, std, c=c, schedule="device")
+        finally:
+            os.environ.pop("SWTPU_MSM_ACCUM", None)
+        assert got == expected, mode
+
+
+def test_msm_device_midsize_2_12():
+    """Mid-size default-suite case (VERDICT r3 #8): n = 2^12 through the
+    device schedule — depth grouping, segs > 1, and the batch-affine
+    inversion tree all activate at this size (toy n barely reaches them)."""
+    n = 1 << 12
+    from simpleworks_tpu import native
+
+    if not native.available():
+        pytest.skip("native runtime not built (host table generation)")
+    g = G1Point.generator()
+    pts_native = native.g1_fixed_base_raw(
+        g, [(i * 6364136223846793005 + 1442695040888963407) % FR_MODULUS
+            for i in range(n)]
+    )
+    pts_native = native.g1_ensure_normalized(pts_native)
+    scalars = [int.from_bytes(rng.bytes(33), "little") % FR_MODULUS for _ in range(n)]
+    scalars[0] = 0
+    std = scalars_to_std(scalars)
+    expected = native.g1_msm_affine_arr(pts_native, std)
+    lm = g1_limb.native_points_to_limb_major(pts_native)
+    got = msm_pippenger.msm_device(lm, std, c=8, schedule="device")
+    assert got == expected
+
+
 def test_fixed_base_powers_device_matches_native():
     """Device SRS generation (ops/srs_device) vs the native fixed-base
     table — bit-identical [N, 18] arrays."""

@@ -35,3 +35,16 @@ def test_device_round_trip():
     ntt = get_device_ntt(n)
     coeffs = [rnd.randrange(P) for _ in range(n)]
     assert ntt.ifft(ntt.fft(coeffs)) == coeffs
+
+
+def test_device_fft_midsize_2_12():
+    """Mid-size default-suite case (VERDICT r3 #8): n = 2^12 — the twiddle
+    staging and stage-loop structure at prover-relevant depth (12 stages),
+    checked bit-exact against the host transform both directions."""
+    n = 1 << 12
+    coeffs = [rnd.randrange(P) for _ in range(n)]
+    domain = Radix2Domain(n)
+    ntt = get_device_ntt(n)
+    fwd = ntt.fft(coeffs)
+    assert fwd == domain.fft(coeffs)
+    assert ntt.ifft(fwd) == coeffs

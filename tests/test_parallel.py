@@ -250,15 +250,17 @@ def test_prove_bytes_multiprocess(monkeypatch):
     port = 19700 + os.getpid() % 500
     coordinator = f"localhost:{port}"
     script = os.path.join(os.path.dirname(__file__), "multihost_child.py")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(script)))
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # the child pins its own 4-device flag
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, script, coordinator, str(i)],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             env=env,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(script))),
+            cwd=repo_root,
         )
         for i in range(2)
     ]
