@@ -36,6 +36,7 @@ from ..ops.msm_pippenger import (
     SCALAR_BITS,
     _round_up_depth,
     accumulate_windows,
+    default_accum,
     device_grid_from_digits,
     window_counts,
     window_digits,
@@ -302,7 +303,7 @@ def sharded_msm_native(mesh: Mesh, axis_name: str, powers_native: np.ndarray,
     for window_ids, segs, b_g, depth in build_sharded_meta(digits, c, n_dev):
         run = make_sharded_msm_digits(
             mesh, axis_name, per, len(window_ids), segs, b_g, depth,
-            os.environ.get("SWTPU_MSM_ACCUM", "affine"),
+            default_accum(),
         )
         wins = run(
             xyz_dev,
@@ -355,7 +356,7 @@ def sharded_msm_host(mesh: Mesh, axis_name: str, points: list[G1Point],
         for window_ids, segs, b_g, depth in build_sharded_meta(digits, c, n_dev):
             run = make_sharded_msm_digits(
                 mesh, axis_name, per, len(window_ids), segs, b_g, depth,
-                os.environ.get("SWTPU_MSM_ACCUM", "affine"),
+                default_accum(),
             )
             wins = run(
                 xyz_dev,
@@ -372,7 +373,7 @@ def sharded_msm_host(mesh: Mesh, axis_name: str, points: list[G1Point],
         for window_ids, segs, b_g, idx, valid in groups:
             run = make_sharded_msm(
                 mesh, axis_name, len(window_ids), segs, b_g,
-                os.environ.get("SWTPU_MSM_ACCUM", "affine"),
+                default_accum(),
             )
             wins = run(
                 xyz_dev,

@@ -51,6 +51,8 @@ def main() -> None:
     assert jax.local_device_count() == 4, jax.local_device_count()
     assert jax.process_count() == 2
 
+    import simpleworks_tpu.parallel.msm_sharded as ms
+    import simpleworks_tpu.parallel.ntt_sharded as ns
     from simpleworks_tpu import marlin
     from simpleworks_tpu.marlin.serialization import serialize_proof
     from simpleworks_tpu.ops import accel
@@ -59,14 +61,34 @@ def main() -> None:
     srs = marlin.universal_setup(128, 128, 128, marlin.generate_rand())
     pk, vk = marlin.index(srs, cs)
 
+    calls = {"ntt": 0, "msm": 0}
+    orig_ntt, orig_msm = ns.sharded_transform_vec, ms.sharded_msm_native
+
+    def count_ntt(*args, **kw):
+        calls["ntt"] += 1
+        return orig_ntt(*args, **kw)
+
+    def count_msm(*args, **kw):
+        calls["msm"] += 1
+        return orig_msm(*args, **kw)
+
+    ns.sharded_transform_vec = count_ntt
+    ms.sharded_msm_native = count_msm
     mesh = Mesh(np.array(jax.devices()), ("shard",))
-    accel.SHARDED_NTT_THRESHOLD = 128
-    accel.SHARDED_MSM_THRESHOLD = 64
+    # dryrun-style thresholds: only the largest AHP domain shards its NTTs
+    # and only the largest MSMs shard — a minimal program set, because two
+    # children compile the same programs concurrently on a small host and
+    # the XLA:CPU cache does not round-trip (docs/performance.md)
+    h_size = pk.index.info.domain_h_size
+    accel.SHARDED_NTT_THRESHOLD = 8 * h_size
+    accel.SHARDED_MSM_THRESHOLD = 3 * h_size
     accel.set_prover_mesh(mesh, "shard")
     try:
         proof = marlin.prove(pk, cs)
     finally:
         accel.set_prover_mesh(None, "shard")
+    assert calls["ntt"] > 0, "sharded NTT never engaged — smoke would be vacuous"
+    assert calls["msm"] > 0, "sharded MSM never engaged — smoke would be vacuous"
     assert marlin.verify(vk, [x], proof)
     print("PROOF_HEX:" + serialize_proof(proof).hex(), flush=True)
 
