@@ -305,8 +305,10 @@ def enable_persistent_compile_cache() -> None:
     try:
         import jax
 
+        # same dir as conftest.py / the dryrun children, so every consumer
+        # shares one artifact pool
         jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(tempfile.gettempdir(), "swtpu_xla_cache"))
+                          os.path.join(tempfile.gettempdir(), "swtpu_jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
         _CACHE_ENABLED = True
     except Exception:
