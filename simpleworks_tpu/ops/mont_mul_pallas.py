@@ -27,39 +27,62 @@ TILE = 512
 
 def _mul_body(a, b, p, *, n_limbs: int, n0: int):
     """Schoolbook + REDC Montgomery product of [L, T] limb tiles (the
-    shared in-VMEM body of the mul and pow kernels)."""
+    shared in-VMEM body of the mul and pow kernels).
+
+    Accumulation runs on whole [L, T] / [L+1, T] arrays at static row
+    offsets via a sliding window: VPU tiles are (8, 128), so a [1, T] row
+    op uses 1/8 of the sublanes — the per-limb-row formulation spent ~6000
+    row ops per product where this one spends ~50 full-height ops plus the
+    short carry chains.  Limb bound: each u32 entry accumulates ≤ 4L
+    16-bit-limb products (< 2^23), so no intra-phase carries are needed.
+    Bit-exact with DeviceField.mul (tests/test_pallas.py)."""
     L = n_limbs
     mask = jnp.uint32(LIMB_MASK)
     T = a.shape[1]
     zero_row = jnp.zeros((1, T), jnp.uint32)
+    n0_u = jnp.uint32(n0)
 
-    t = [zero_row for _ in range(2 * L + 1)]
+    # ---- phase 1: t = a·b over 2L+1 u32 limb rows -----------------------
+    # window holds t rows i..i+L at the top of iteration i; row i is final
+    # after iteration i (later products only touch offsets > i).
+    window = jnp.zeros((L + 1, T), jnp.uint32)
+    finals = []
     for i in range(L):
         prod = a[i : i + 1, :] * b  # [L, T]
         lo = prod & mask
         hi = prod >> LIMB_BITS
-        for j in range(L):
-            t[i + j] = t[i + j] + lo[j : j + 1, :]
-            t[i + j + 1] = t[i + j + 1] + hi[j : j + 1, :]
-    n0_u = jnp.uint32(n0)
+        u = (
+            jnp.concatenate([lo, zero_row], axis=0)
+            + jnp.concatenate([zero_row, hi], axis=0)
+        )  # contributions to rows i..i+L
+        window = window + u
+        finals.append(window[0:1, :])
+        window = jnp.concatenate([window[1:, :], zero_row], axis=0)
+    t = jnp.concatenate(finals + [window], axis=0)  # [2L+1, T]
+
+    # ---- phase 2: REDC, m_i = t_i·n0 mod 2^16; m_i·p lands on rows
+    # i..i+L, with row i folded into a deferred carry chain --------------
+    carry = zero_row
+    w = t[0 : L + 1, :]  # rows i..i+L
     for i in range(L):
-        m = ((t[i] & mask) * n0_u) & mask  # [1, T]
+        ti = w[0:1, :] + carry
+        m = ((ti & mask) * n0_u) & mask  # [1, T]
         prod = m * p  # [L, T]
         lo = prod & mask
         hi = prod >> LIMB_BITS
-        for j in range(L):
-            t[i + j] = t[i + j] + lo[j : j + 1, :]
-            t[i + j + 1] = t[i + j + 1] + hi[j : j + 1, :]
-        t[i + 1] = t[i + 1] + (t[i] >> LIMB_BITS)
+        carry = (ti + lo[0:1, :]) >> LIMB_BITS  # low 16 bits cancel by REDC
+        u = jnp.concatenate([lo[1:, :], zero_row], axis=0) + hi  # rows i+1..i+L
+        w = w[1:, :] + u
+        if i < L - 1:
+            w = jnp.concatenate([w, t[i + L + 1 : i + L + 2, :]], axis=0)
 
-    # normalize result limbs [L..2L] + top carry
+    # ---- normalize result limbs (w = rows L..2L-1) + top carry ----------
     res = []
-    carry = zero_row
     for i in range(L):
-        v = t[L + i] + carry
+        v = w[i : i + 1, :] + carry
         res.append(v & mask)
         carry = v >> LIMB_BITS
-    extra = t[2 * L] + carry  # [1, T], 0 or 1
+    extra = t[2 * L : 2 * L + 1, :] + carry  # [1, T], 0 or 1
 
     res_arr = jnp.concatenate(res, axis=0)  # [L, T]
 

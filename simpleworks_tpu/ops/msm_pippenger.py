@@ -64,9 +64,18 @@ def default_accum() -> str:
 
 
 def window_digits(scalars_std: np.ndarray, c: int) -> np.ndarray:
-    """[N, 4] u64 standard-form scalars -> [W, N] int64 window digits."""
+    """[N, 4] u64 standard-form scalars -> [W, N] window digits.
+
+    For c = 8/16 the digits ARE the scalar's little-endian bytes/u16 words,
+    so the result is a zero-compute reinterpret-view transpose (the general
+    shift loop costs ~0.5 s at N = 2^17 on a 2-vCPU host — it was the
+    single largest term in the device-MSM end-to-end time)."""
     std = np.ascontiguousarray(scalars_std, dtype="<u8")
     n = std.shape[0]
+    if c == 8:
+        return std.view(np.uint8).reshape(n, 32).T
+    if c == 16:
+        return std.view("<u2").reshape(n, 16).T
     w_count = (SCALAR_BITS + c - 1) // c
     mask = np.uint64((1 << c) - 1)
     out = np.zeros((w_count, n), dtype=np.int64)
@@ -418,6 +427,10 @@ def msm_device(points_lm, scalars_std: np.ndarray, c: int | None = None,
     w_count = (SCALAR_BITS + c - 1) // c
     XYZ = points_lm if not isinstance(points_lm, tuple) else jnp.stack(points_lm)
     window_points = [G1Point.identity()] * w_count
+    # dispatch every group's accumulate before fetching any result: the
+    # device overlaps group k+1's digit upload with group k's compute, and
+    # the (serializing) host fetches all happen against finished buffers
+    pending = []
     if schedule == "device":
         digits = window_digits(scalars_std, c)
         d_small = digits.astype(np.uint8 if c <= 8 else np.uint16)
@@ -426,9 +439,7 @@ def msm_device(points_lm, scalars_std: np.ndarray, c: int | None = None,
                 XYZ.shape[2], n, depth, len(window_ids), segs, b_g, offset,
                 accum,
             )
-            wins = fn(XYZ, jnp.asarray(d_small[window_ids]))
-            for w, pt in zip(window_ids, g1_limb.points_from_limb_major(wins)):
-                window_points[w] = pt
+            pending.append((window_ids, fn(XYZ, jnp.asarray(d_small[window_ids]))))
     else:
         for window_ids, segs, b_g, idx, valid in build_schedule(
             scalars_std, c, offset=offset
@@ -436,9 +447,10 @@ def msm_device(points_lm, scalars_std: np.ndarray, c: int | None = None,
             fn = _make_accumulate(
                 XYZ.shape[2], idx.shape[0], len(window_ids), segs, b_g, accum
             )
-            wins = fn(XYZ, jnp.asarray(idx), jnp.asarray(valid))
-            for w, pt in zip(window_ids, g1_limb.points_from_limb_major(wins)):
-                window_points[w] = pt
+            pending.append((window_ids, fn(XYZ, jnp.asarray(idx), jnp.asarray(valid))))
+    for window_ids, wins in pending:
+        for w, pt in zip(window_ids, g1_limb.points_from_limb_major(wins)):
+            window_points[w] = pt
     total = G1Point.identity()
     for wp in reversed(window_points):
         for _ in range(c):
