@@ -102,6 +102,12 @@ def _cached_probe() -> dict:
     except (OSError, ValueError):
         pass
     rec = _probe_device_subprocess()
+    if not rec.get("ok"):
+        # single-client tunnels refuse a probe while a sibling process
+        # holds the device — retry once after a short pause so a transient
+        # collision is not cached as a wedge for PROBE_TTL_BAD
+        time.sleep(2.0)
+        rec = _probe_device_subprocess()
     rec["ts"] = now
     try:
         with open(path, "w") as f:
@@ -162,7 +168,12 @@ def _forced() -> bool:
 NTT_DEVICE_THRESHOLD = int(os.environ.get("SWTPU_NTT_THRESHOLD", 4096))
 MSM_DEVICE_THRESHOLD = int(os.environ.get("SWTPU_MSM_THRESHOLD", 65536))
 NTT_MIN_LINK_MBPS = float(os.environ.get("SWTPU_NTT_MIN_MBPS", 400.0))
-MSM_MIN_LINK_MBPS = float(os.environ.get("SWTPU_MSM_MIN_MBPS", 40.0))
+# Device MSM link floor: per-call traffic is the digit matrix (32-40 B/pt)
+# plus a once-per-SRS table upload (~288 B/pt); the device accumulate runs
+# ~3x the 2-vCPU native batch-affine rate (measured v5e: 182k vs 70k pts/s
+# at 2^17), so the crossover sits near 3 MB/s — 8 keeps margin for the
+# amortized table
+MSM_MIN_LINK_MBPS = float(os.environ.get("SWTPU_MSM_MIN_MBPS", 8.0))
 
 _PROBE_BYTES = 8 << 20
 
@@ -170,39 +181,79 @@ _PROBE_BYTES = 8 << 20
 def _probe_link_mbps() -> float:
     import numpy as np
     import jax
+    import jax.numpy as jnp
 
+    # fetch-inclusive round trip: on the tunneled backend
+    # ``block_until_ready`` returns before the transfer lands (it measured
+    # dispatch, reporting 1.2 GB/s on a ~20 MB/s link and opening every
+    # device gate), so time up to a device->host fetch of a reduction that
+    # depends on every uploaded byte
     arr = np.ones(_PROBE_BYTES // 4, dtype=np.uint32)
-    jax.device_put(arr).block_until_ready()  # warm the path
+    red = jax.jit(lambda x: jnp.sum(x, dtype=jnp.uint32).reshape(1))
+    np.asarray(red(jax.device_put(arr)))  # warm the path + compile
     t0 = time.perf_counter()
-    jax.device_put(arr).block_until_ready()
+    np.asarray(red(jax.device_put(arr)))
     elapsed = time.perf_counter() - t0
-    return _PROBE_BYTES / max(elapsed, 1e-9) / 1e6
+    # per-op round-trip latency: tiny op, dispatch -> fetch; min of 3
+    # (the tunnel's tax is latency, not bandwidth — ~100-300 ms/op vs
+    # 1.2 GB/s measured here)
+    tiny = jax.device_put(np.ones(8, dtype=np.uint32))
+    lats = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(red(tiny))
+        lats.append(time.perf_counter() - t0)
+    return (
+        _PROBE_BYTES / max(elapsed, 1e-9) / 1e6,
+        min(lats) * 1e3,
+    )
 
 
 @lru_cache(maxsize=1)
-def link_bandwidth_mbps() -> float:
-    """Host→device bandwidth in MB/s, probed once and cached per device
-    kind in the temp dir (so short CLI runs skip the probe).  Only called
-    after ``device_available()`` verified the backend healthy, so the
-    device kind comes from that probe record — never an in-process
+def _link_record() -> dict:
+    """{"mbps", "lat_ms"} — probed once, cached per device kind in the
+    temp dir (so short CLI runs skip the probe).  Only consulted after
+    ``device_available()`` verified the backend healthy, so the device
+    kind comes from that probe record — never an in-process
     ``jax.devices()`` that could block on a wedged link."""
     if not device_available():
-        return 0.0
+        return {"mbps": 0.0, "lat_ms": float("inf")}
     rec = _cached_probe() if not _forced() else {}
     kind = str(rec.get("kind", "forced")).replace(" ", "_").replace("/", "_")
-    cache = os.path.join(tempfile.gettempdir(), f"swtpu_link_{kind}.json")
+    # v2: probe methodology changed (fetch-inclusive); stale v1 records
+    # measured dispatch latency and overstated by ~60x
+    cache = os.path.join(tempfile.gettempdir(), f"swtpu_link_v2_{kind}.json")
     try:
         with open(cache) as f:
-            return float(json.load(f)["mbps"])
+            saved = json.load(f)
+            return {"mbps": float(saved["mbps"]), "lat_ms": float(saved["lat_ms"])}
     except Exception:
         pass
-    mbps = _probe_link_mbps()
+    mbps, lat_ms = _probe_link_mbps()
+    out = {"mbps": mbps, "lat_ms": lat_ms}
     try:
         with open(cache, "w") as f:
-            json.dump({"mbps": mbps}, f)
+            json.dump(out, f)
     except OSError:
         pass
-    return mbps
+    return out
+
+
+def link_bandwidth_mbps() -> float:
+    """Host→device bandwidth in MB/s (fetch-inclusive probe, cached)."""
+    return _link_record()["mbps"]
+
+
+def link_latency_ms() -> float:
+    """Per-op dispatch→fetch round-trip latency in ms (cached)."""
+    return _link_record()["lat_ms"]
+
+
+#: a device NTT is ~4 ms of compute at n=2^16 vs ~21 ms native, but each
+#: call pays ~2 link round trips — on a tunneled backend with 100+ ms/op
+#: latency the device loses regardless of bandwidth.  Real hosts (PCIe /
+#: co-located, sub-ms) pass this easily.
+NTT_MAX_LINK_LAT_MS = float(os.environ.get("SWTPU_NTT_MAX_LAT_MS", 3.0))
 
 
 def use_device_ntt(n: int) -> bool:
@@ -210,13 +261,28 @@ def use_device_ntt(n: int) -> bool:
     # device probe — a 100-constraint demo prove stays wedge-immune
     if n < NTT_DEVICE_THRESHOLD or not device_available():
         return False
-    return _forced() or link_bandwidth_mbps() >= NTT_MIN_LINK_MBPS
+    if _forced():
+        return True
+    return (
+        link_bandwidth_mbps() >= NTT_MIN_LINK_MBPS
+        and link_latency_ms() <= NTT_MAX_LINK_LAT_MS
+    )
+
+
+#: above this size the native batch-affine MSM switches to c=16 windows
+#: (half the window passes of the device's c=13) and reaches ~260 k pts/s
+#: on 2 vCPUs — measured FASTER than the device accumulate + digit upload
+#: at 3.1 M points on a ~20 MB/s link (57 s vs 12 s, prove trace r4).
+#: Links fast enough to amortize the upload can raise/disable the cap.
+MSM_DEVICE_MAX_N = int(os.environ.get("SWTPU_MSM_MAX_N", 1 << 20))
 
 
 def use_device_msm(n: int) -> bool:
     if n < MSM_DEVICE_THRESHOLD or not device_available():
         return False
-    return _forced() or link_bandwidth_mbps() >= MSM_MIN_LINK_MBPS
+    if _forced():
+        return True
+    return n < MSM_DEVICE_MAX_N and link_bandwidth_mbps() >= MSM_MIN_LINK_MBPS
 
 
 FIXED_BASE_THRESHOLD = int(os.environ.get("SWTPU_FIXED_BASE_THRESHOLD", 1 << 16))

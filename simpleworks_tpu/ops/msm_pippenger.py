@@ -283,7 +283,7 @@ def accumulate_windows(XYZ, idx, valid, w_count: int, segs: int, b: int,
     return tuple(a[:, :, 0] for a in t)  # ([24, W],)*3
 
 
-@lru_cache(maxsize=16)
+@lru_cache(maxsize=64)
 def _make_accumulate(n_points: int, depth: int, w_count: int, segs: int, b: int,
                      accum: str = "affine"):
     """Jitted single-chip wrapper around :func:`accumulate_windows`."""
@@ -382,7 +382,7 @@ def device_grid_from_digits(digits_g: jnp.ndarray, n: int, depth: int,
     return idx, valid
 
 
-@lru_cache(maxsize=16)
+@lru_cache(maxsize=64)
 def _make_accumulate_digits(n_points: int, n_scalars: int, depth: int,
                             w_count: int, segs: int, b: int, offset: int,
                             accum: str = "affine"):
@@ -401,6 +401,20 @@ def _auto_window_bits(n: int) -> int:
     """Window size minimizing scan work (N·W) + bucket-combine work
     (2c·W·2^c): larger windows win once N amortizes the combine."""
     return 13 if n >= (1 << 19) else 8
+
+
+def _quantize_n(n: int) -> int:
+    """Round the scalar count up to a 2-significant-bit grid (1, 1.25,
+    1.5, 1.75 × 2^k): a Marlin prove issues MSMs at a dozen distinct poly
+    sizes, and every distinct size is a fresh accumulate jit (~15-60 s of
+    TPU compile each — prove[0] paid ~990 s before this).  Padding digits
+    with zeros is free at accumulate time (digit 0 owns no bucket
+    entries), costs ≤25% extra digit upload, and collapses the shapes to
+    ≤4 per octave shared across proves."""
+    if n <= 4096:
+        return n
+    step = 1 << (n.bit_length() - 3)
+    return ((n + step - 1) // step) * step
 
 
 def msm_device(points_lm, scalars_std: np.ndarray, c: int | None = None,
@@ -434,9 +448,15 @@ def msm_device(points_lm, scalars_std: np.ndarray, c: int | None = None,
     if schedule == "device":
         digits = window_digits(scalars_std, c)
         d_small = digits.astype(np.uint8 if c <= 8 else np.uint16)
+        qn = _quantize_n(n)
+        if qn != n:
+            # zero digits own no bucket entries: the schedule meta, depths
+            # and window sums are unchanged — only the upload grows
+            pad = np.zeros((d_small.shape[0], qn - n), d_small.dtype)
+            d_small = np.concatenate([d_small, pad], axis=1)
         for window_ids, segs, b_g, depth in build_schedule_meta(digits, c):
             fn = _make_accumulate_digits(
-                XYZ.shape[2], n, depth, len(window_ids), segs, b_g, offset,
+                XYZ.shape[2], qn, depth, len(window_ids), segs, b_g, offset,
                 accum,
             )
             pending.append((window_ids, fn(XYZ, jnp.asarray(d_small[window_ids]))))
