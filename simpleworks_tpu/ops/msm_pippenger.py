@@ -356,7 +356,7 @@ def build_schedule_meta(digits: np.ndarray, c: int):
 
 
 def device_grid_from_digits(digits_g: jnp.ndarray, n: int, depth: int,
-                            segs: int, b: int, offset: int):
+                            segs: int, b: int, offset):
     """[g, N] int32 digits -> (idx [D, g·S·B] int32, valid [D, g·S·B] bool),
     the exact layout :func:`build_schedule` produces (modulo within-bucket
     point order, which point addition doesn't observe)."""
@@ -375,7 +375,7 @@ def device_grid_from_digits(digits_g: jnp.ndarray, n: int, depth: int,
     valid = (k < counts.astype(jnp.int32).reshape(g, 1, 1, b)) & (dig > 0)
     pos = jnp.clip(pos, 0, n - 1)
     idx = jax.vmap(jnp.take)(order.astype(jnp.int32), pos.reshape(g, -1))
-    idx = idx.reshape(g, depth, segs, b) + jnp.int32(offset)
+    idx = idx.reshape(g, depth, segs, b) + jnp.asarray(offset, jnp.int32)
     # [g, D, S, B] -> [D, g, S, B] -> [D, g·S·B] (the scan layout)
     idx = jnp.moveaxis(idx, 0, 1).reshape(depth, g * segs * b)
     valid = jnp.moveaxis(valid, 0, 1).reshape(depth, g * segs * b)
@@ -384,11 +384,14 @@ def device_grid_from_digits(digits_g: jnp.ndarray, n: int, depth: int,
 
 @lru_cache(maxsize=64)
 def _make_accumulate_digits(n_points: int, n_scalars: int, depth: int,
-                            w_count: int, segs: int, b: int, offset: int,
+                            w_count: int, segs: int, b: int,
                             accum: str = "affine"):
-    """Jitted: (XYZ, [g, N] digits) -> window sums, grid built on device."""
+    """Jitted: (XYZ, [g, N] digits, offset) -> window sums, grid built on
+    device.  ``offset`` is a runtime scalar: degree-bound shifted commits
+    hit the SRS at a different offset per poly, and a static offset would
+    compile a fresh program each (VERDICT r4 session note)."""
 
-    def run(XYZ, digits_g):
+    def run(XYZ, digits_g, offset):
         idx, valid = device_grid_from_digits(
             digits_g.astype(jnp.int32), n_scalars, depth, segs, b, offset
         )
@@ -399,14 +402,15 @@ def _make_accumulate_digits(n_points: int, n_scalars: int, depth: int,
 
 @lru_cache(maxsize=32)
 def _make_accumulate_multi(n_points: int, n_scalars: int, meta_key: tuple,
-                           offset: int, accum: str = "affine"):
-    """Jitted: (XYZ, *[g_i, N] digit arrays) -> [3, 24, ΣW] concatenated
-    window sums — ALL bucket groups in ONE program with ONE result fetch.
-    On a high-latency link each per-group dispatch+fetch pays ~2 round
-    trips (~70 ms measured); an MSM has 2-3 groups, so fusing them saves
-    ~0.2 s per call.  ``meta_key``: ((g, segs, b, depth), ...)."""
+                           accum: str = "affine"):
+    """Jitted: (XYZ, offset, *[g_i, N] digit arrays) -> [3, 24, ΣW]
+    concatenated window sums — ALL bucket groups in ONE program with ONE
+    result fetch.  On a high-latency link each per-group dispatch+fetch
+    pays ~2 round trips (~70 ms measured); an MSM has 2-3 groups, so
+    fusing them saves ~0.2 s per call.  ``meta_key``:
+    ((g, segs, b, depth), ...); ``offset`` is runtime (see above)."""
 
-    def run(XYZ, *digit_arrays):
+    def run(XYZ, offset, *digit_arrays):
         outs = []
         for d_g, (g, segs, b, depth) in zip(digit_arrays, meta_key):
             idx, valid = device_grid_from_digits(
@@ -483,9 +487,13 @@ def msm_device(points_lm, scalars_std: np.ndarray, c: int | None = None,
         meta_key = tuple(
             (len(w_ids), segs, b_g, depth) for w_ids, segs, b_g, depth in metas
         )
-        fn = _make_accumulate_multi(XYZ.shape[2], qn, meta_key, offset, accum)
+        fn = _make_accumulate_multi(XYZ.shape[2], qn, meta_key, accum)
         stacked = np.asarray(
-            fn(XYZ, *(jnp.asarray(d_small[w_ids]) for w_ids, *_ in metas))
+            fn(
+                XYZ,
+                jnp.int32(offset),
+                *(jnp.asarray(d_small[w_ids]) for w_ids, *_ in metas),
+            )
         )
         col = 0
         for window_ids, *_ in metas:
