@@ -269,12 +269,14 @@ def use_device_ntt(n: int) -> bool:
     )
 
 
-#: above this size the native batch-affine MSM switches to c=16 windows
-#: (half the window passes of the device's c=13) and reaches ~260 k pts/s
-#: on 2 vCPUs — measured FASTER than the device accumulate + digit upload
-#: at 3.1 M points on a ~20 MB/s link (57 s vs 12 s, prove trace r4).
-#: Links fast enough to amortize the upload can raise/disable the cap.
-MSM_DEVICE_MAX_N = int(os.environ.get("SWTPU_MSM_MAX_N", 1 << 20))
+#: optional size cap for the device MSM (default: none).  Head-to-head at
+#: 3.1 M points with realistic scalars on v5e: device 17 s steady vs 30 s
+#: native batch-affine c=16 on 2 vCPUs, bit-exact — the device wins at
+#: every routed size once shapes are quantized and offset is a runtime
+#: scalar.  (An earlier 57 s device figure that motivated a 2^20 cap was
+#: per-offset compile pollution, not steady state.)  Hosts with stronger
+#: CPUs or starved links can still cap via SWTPU_MSM_MAX_N.
+MSM_DEVICE_MAX_N = int(os.environ.get("SWTPU_MSM_MAX_N", 1 << 62))
 
 
 def use_device_msm(n: int) -> bool:
