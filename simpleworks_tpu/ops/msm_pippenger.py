@@ -177,7 +177,7 @@ def build_schedule(scalars_std: np.ndarray, c: int, offset: int = 0):
 
 def accumulate_windows(XYZ, idx, valid, w_count: int, segs: int, b: int,
                        axis_name: str | None = None, accum: str | None = None):
-    """(XYZ [3, 24, n_local], idx [D, W·S·B], valid) -> ([24, W],)*3 window
+    """(XYZ [2+, 24, n_local] X/Y planes, idx [D, W·S·B], valid) -> ([24, W],)*3 window
     sums.  The graph stays small — a handful of point-add subgraphs —
     because the D accumulation steps (lax.scan), the log₂(S) segment folds
     (unrolled halving), and the 2·log₂(B) bucket-combine steps
