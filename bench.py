@@ -54,6 +54,7 @@ LEG_TIMEOUTS = {
     "ntt": 180,
     "msm": 420,
     "marlin": 720,
+    "scaling": 300,
 }
 
 _STATE: dict = {"rate": 0.0, "extra": {}}
@@ -89,6 +90,17 @@ def _on_term(signum, frame):  # noqa: ARG001
 
 def _leg_main(fn_name: str, conn) -> None:
     try:
+        if fn_name == "bench_scaling":
+            # virtual 8-device CPU mesh (same recipe as conftest.py: the
+            # env's sitecustomize imports jax at interpreter start, so the
+            # config update is the only reliable pin; XLA_FLAGS is still
+            # read at CPU client init, which hasn't happened yet)
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "xla_force_host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + " --xla_force_host_platform_device_count=8"
+                ).strip()
+            jax.config.update("jax_platforms", "cpu")
         if os.environ.get("SWTPU_BENCH_FORCE_CPU"):
             # config.update is the only reliable pin: with the axon PJRT
             # plugin registered at interpreter start, an env-var-only
@@ -281,12 +293,34 @@ def bench_msm() -> dict:
     dev_s = time.perf_counter() - t0
     assert res == host_res
     log(f"device msm 2^17: {dev_s:.2f}s ({MSM_N / dev_s:.0f} pts/s, bit-exact)")
-    return {
+    out = {
         "msm_points_per_sec": round(MSM_N / dev_s, 1),
         "msm_n": MSM_N,
         "msm_host_native_points_per_sec": round(MSM_N / host_s, 1),
         "msm_device_vs_host_native": round(host_s / dev_s, 2),
     }
+    # first 2^20 number (VERDICT r4 #4): tile the 2^17 table 8x (distinct
+    # scalars — the bucket distribution is what matters, not the points)
+    big_n = 1 << 20
+    big_pts = np.tile(pts_native, (big_n // MSM_N, 1))
+    big_scalars = [int.from_bytes(rng.bytes(33), "little") % P for _ in range(big_n)]
+    big_std = FrVec.from_ints(big_scalars).to_std_array()
+    t0 = time.perf_counter()
+    host_big = native.g1_msm_affine_arr(big_pts, big_std)
+    host_big_s = time.perf_counter() - t0
+    big_dev = jax.device_put(g1_limb.native_points_to_limb_major(big_pts))
+    jax.block_until_ready(big_dev)
+    res_big = msm_pippenger.msm_device(big_dev, big_std)  # compile + warm
+    assert res_big == host_big, "device MSM 2^20 mismatch vs host Pippenger"
+    t0 = time.perf_counter()
+    res_big = msm_pippenger.msm_device(big_dev, big_std)
+    dev_big_s = time.perf_counter() - t0
+    assert res_big == host_big
+    log(f"device msm 2^20: {dev_big_s:.2f}s ({big_n / dev_big_s:.0f} pts/s, "
+        f"host {host_big_s:.2f}s)")
+    out["msm_2e20_points_per_sec"] = round(big_n / dev_big_s, 1)
+    out["msm_2e20_host_native_points_per_sec"] = round(big_n / host_big_s, 1)
+    return out
 
 
 def bench_marlin_prove() -> dict:
@@ -318,6 +352,9 @@ def bench_marlin_prove() -> dict:
     # defensible evidence (VERDICT r3 #6).  Adaptive: keep proving while
     # the leg budget (720s) safely allows another run, up to 3.
     leg_start = time.perf_counter()
+    from simpleworks_tpu.utils.observability import PROVER_TIMER
+
+    totals_before_prove = dict(PROVER_TIMER.totals)
     prove_times = []
     proof = None
     for i in range(3):
@@ -329,6 +366,18 @@ def bench_marlin_prove() -> dict:
         if budget_left < prove_times[-1] * 1.3:
             break
     prove_s = sorted(prove_times)[len(prove_times) // 2]  # median
+    # per-leg attribution of the prove wall time, averaged per run and
+    # net of the index's own MSM regions (VERDICT r4 #1: publish the
+    # PROVER_TIMER breakdown, not just the total)
+    deltas = {
+        label: total - totals_before_prove.get(label, 0.0)
+        for label, total in PROVER_TIMER.totals.items()
+    }
+    breakdown = {
+        label: round(d / max(len(prove_times), 1), 2)
+        for label, d in sorted(deltas.items(), key=lambda kv: -kv[1])[:10]
+        if d > 0.05
+    }
     t0 = time.perf_counter()
     ok = marlin.verify(vk, [], proof)
     verify_s = time.perf_counter() - t0
@@ -347,60 +396,166 @@ def bench_marlin_prove() -> dict:
         "marlin_index_seconds": round(index_s, 2),
         "marlin_circuit": "schnorr-verify (simple-payments signature), SRS(100k,25k,300k)",
         "marlin_verify_ok": bool(ok),
+        "marlin_prove_breakdown": breakdown,
     }
 
 
-def _run_device_legs(extra: dict) -> bool:
-    """Probe + device kernel legs; returns device_ok.  On a wedged/absent
-    accelerator the headline falls back to the host-native mont-mul rate,
-    clearly labeled — never 0.0 with a real number available
-    (VERDICT r3 #2a)."""
-    probe = run_leg("probe", "bench_device_probe")
-    device_ok = probe is not None and probe.get("backend") not in (None, "cpu")
-    extra["device_probe"] = probe if probe else "unreachable"
-    emit()
-    if device_ok:
-        extra["backend"] = "tpu-device"
-        mont = run_leg("montmul", "bench_montmul")
-        if mont is None:
-            extra["montmul_leg_failed"] = True
-        else:
-            _STATE["rate"] = mont["rate"]
-            extra["fr_montmul_raw_no_fetch"] = round(mont["raw"], 1)
-        emit()
-        for name, fn_name in (("ntt", "bench_ntt"), ("msm", "bench_msm")):
-            result = run_leg(name, fn_name)
-            if result is not None:
-                extra.update(result)
-            else:
-                extra[f"{name}_leg_failed"] = True
-            emit()
+def _consult_probe(extra: dict, force: bool = False) -> bool:
+    """Device liveness via the accel router's cached subprocess probe
+    (30 s deadline, on-disk TTL cache) — NOT a 150 s bench-owned probe leg
+    burning its budget on a wedged tunnel (VERDICT r4 #2).  Every attempt
+    is appended to ``extra["probe_trail"]`` so the record shows the tunnel
+    was tried early AND late even when it is down all round."""
+    from simpleworks_tpu.ops import accel
+
+    if force:
+        try:
+            os.remove(accel._probe_cache_path())
+        except OSError:
+            pass
+    t0 = time.perf_counter()
+    rec = accel._cached_probe()
+    ok = bool(rec.get("ok"))
+    trail = extra.setdefault("probe_trail", [])
+    trail.append(
+        {
+            "ts": time.strftime("%H:%M:%SZ", time.gmtime()),
+            "ok": ok,
+            "seconds": round(time.perf_counter() - t0, 1),
+            **({"kind": rec.get("kind")} if ok else {}),
+        }
+    )
+    extra["device_probe"] = (
+        {"backend": rec.get("platform"), "device_kind": rec.get("kind")}
+        if ok
+        else "unreachable"
+    )
+    log(f"accel probe verdict: ok={ok} ({trail[-1]['seconds']}s)")
+    return ok
+
+
+def bench_scaling() -> dict:
+    """First scaling curve (VERDICT r4 #7): the same Marlin prove
+    unsharded vs sharded over an 8-device virtual CPU mesh (this host has
+    2 physical cores, so the sharded figure measures collective/partition
+    overhead at N>cores, not speedup — labeled ``cpu-virtual``; the ≥5×
+    north star needs real multi-chip hardware).  Proof bytes are asserted
+    identical, so the comparison cannot drift apart semantically."""
+    import jax as _jax
+    from jax.sharding import Mesh
+
+    from simpleworks_tpu import marlin
+    from simpleworks_tpu.fields.bls12_377 import ConstraintF, FR_MODULUS
+    from simpleworks_tpu.marlin.serialization import serialize_proof
+    from simpleworks_tpu.ops import accel
+    from simpleworks_tpu.r1cs.constraint_system import ONE, ConstraintSystem
+
+    devices = _jax.devices()
+    if len(devices) < 8 or devices[0].platform != "cpu":
+        log(f"scaling: need 8 virtual cpu devices, have {len(devices)} "
+            f"{devices[0].platform} — skipped")
+        return {}
+    n_constraints = 4000  # H = 4096, K = 8192: sharded thresholds engage
+    cs = ConstraintSystem(ConstraintF)
+    a = cs.new_input_variable(3)
+    cur_val = 3
+    cur = cs.new_witness_variable(cur_val)
+    cs.enforce_constraint(cs.lc((1, a)) - cs.lc((1, cur)), cs.lc((1, ONE)), cs.lc())
+    for _ in range(n_constraints):
+        nxt_val = cur_val * cur_val % FR_MODULUS
+        nxt = cs.new_witness_variable(nxt_val)
+        cs.enforce_constraint(cs.lc((1, cur)), cs.lc((1, cur)), cs.lc((1, nxt)))
+        cur, cur_val = nxt, nxt_val
+    srs = marlin.universal_setup(4096, 4096, 8192, marlin.generate_rand())
+    pk, vk = marlin.index(srs, cs)
+    marlin.prove(pk, cs)  # warm every code path once
+    t0 = time.perf_counter()
+    base_proof = marlin.prove(pk, cs)
+    t_1dev = time.perf_counter() - t0
+    log(f"scaling: unsharded prove {t_1dev:.2f}s (n={n_constraints})")
+    mesh = Mesh(np.array(devices[:8]), ("shard",))
+    accel.set_prover_mesh(mesh, "shard")
+    try:
+        marlin.prove(pk, cs)  # compile the sharded programs
+        t0 = time.perf_counter()
+        sharded_proof = marlin.prove(pk, cs)
+        t_8dev = time.perf_counter() - t0
+    finally:
+        accel.set_prover_mesh(None, "shard")
+    log(f"scaling: sharded(8 virtual) prove {t_8dev:.2f}s")
+    assert serialize_proof(sharded_proof) == serialize_proof(base_proof)
+    return {
+        "label": "cpu-virtual (2 physical cores)",
+        "circuit_constraints": n_constraints,
+        "prove_seconds_1dev": round(t_1dev, 2),
+        "prove_seconds_8dev_sharded": round(t_8dev, 2),
+        "proof_bytes_identical": True,
+    }
+
+
+def _run_device_legs(extra: dict) -> None:
+    """The device kernel legs (each subprocess + deadline)."""
+    extra["backend"] = "tpu-device"
+    extra.pop("device_legs_skipped", None)
+    mont = run_leg("montmul", "bench_montmul")
+    if mont is None:
+        extra["montmul_leg_failed"] = True
     else:
-        # wedged/absent accelerator: skip the device-kernel legs (their
-        # budgets would burn to no purpose); record the host-native rate
-        # as the headline instead
-        extra["device_legs_skipped"] = True
-        os.environ["SWTPU_BENCH_FORCE_CPU"] = "1"
-        os.environ["SWTPU_ACCEL"] = "0"
-        log("device unreachable — host-native montmul as headline fallback")
-        host = run_leg("montmul", "bench_montmul_host")
-        if host and "rate" in host:
-            _STATE["rate"] = host["rate"]
-            extra["backend"] = "cpu-host-native"
+        _STATE["rate"] = mont["rate"]
+        extra["fr_montmul_raw_no_fetch"] = round(mont["raw"], 1)
+    emit()
+    for name, fn_name in (("ntt", "bench_ntt"), ("msm", "bench_msm")):
+        result = run_leg(name, fn_name)
+        if result is not None:
+            extra.update(result)
+        else:
+            extra[f"{name}_leg_failed"] = True
         emit()
-    return device_ok
+
+
+def _run_host_fallback(extra: dict) -> None:
+    """Wedged/absent accelerator: record the host-native rate as the
+    headline instead — never 0.0 with a real number available."""
+    extra["device_legs_skipped"] = True
+    log("device unreachable — host-native montmul as headline fallback")
+    host = run_leg("montmul", "bench_montmul_host")
+    if host and "rate" in host:
+        _STATE["rate"] = host["rate"]
+        extra["backend"] = "cpu-host-native"
+    emit()
 
 
 def main() -> None:
     signal.signal(signal.SIGTERM, _on_term)
     extra = _STATE["extra"]
-    device_ok = _run_device_legs(extra)
+    device_ok = _consult_probe(extra)
+    emit()
+    if device_ok:
+        _run_device_legs(extra)
+    else:
+        # pin the fallback legs to CPU so a wedged tunnel cannot block them
+        os.environ["SWTPU_BENCH_FORCE_CPU"] = "1"
+        os.environ["SWTPU_ACCEL"] = "0"
+        _run_host_fallback(extra)
     result = run_leg("marlin", "bench_marlin_prove")
     if result is not None:
         extra.update(result)
         extra["marlin_backend"] = "tpu-device" if device_ok else "cpu-host-path"
     else:
         extra["marlin_leg_failed"] = True
+    emit()
+    scaling = run_leg("scaling", "bench_scaling")
+    if scaling:
+        extra["scaling"] = scaling
+    emit()
+    if not device_ok:
+        # late retry (VERDICT r4 #2): the tunnel heals on minute timescales —
+        # a fresh forced probe at the end of the run catches it and still
+        # gets device kernel numbers onto the driver record
+        os.environ.pop("SWTPU_BENCH_FORCE_CPU", None)
+        os.environ.pop("SWTPU_ACCEL", None)
+        if _consult_probe(extra, force=True):
+            _run_device_legs(extra)
     emit()
 
 
@@ -415,7 +570,14 @@ def snapshot() -> int:
     end-of-round wedge cannot blank the device record (VERDICT r3 #2b)."""
     signal.signal(signal.SIGTERM, _on_term)
     extra = _STATE["extra"]
-    device_ok = _run_device_legs(extra)
+    device_ok = _consult_probe(extra, force=True)
+    emit()
+    if device_ok:
+        _run_device_legs(extra)
+    else:
+        os.environ["SWTPU_BENCH_FORCE_CPU"] = "1"
+        os.environ["SWTPU_ACCEL"] = "0"
+        _run_host_fallback(extra)
     rec = {
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "device_ok": device_ok,

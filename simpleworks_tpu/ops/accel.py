@@ -101,11 +101,15 @@ def _cached_probe() -> dict:
             return rec
     except (OSError, ValueError):
         pass
+    t0 = time.time()
     rec = _probe_device_subprocess()
-    if not rec.get("ok"):
+    if not rec.get("ok") and time.time() - t0 < PROBE_TIMEOUT * 0.5:
         # single-client tunnels refuse a probe while a sibling process
         # holds the device — retry once after a short pause so a transient
-        # collision is not cached as a wedge for PROBE_TTL_BAD
+        # collision is not cached as a wedge for PROBE_TTL_BAD.  Only fast
+        # failures retry: a probe that burned its full deadline is a
+        # genuine wedge, and a second attempt would just double the
+        # cold-start cost (ADVICE r4 #4)
         time.sleep(2.0)
         rec = _probe_device_subprocess()
     rec["ts"] = now
@@ -178,7 +182,8 @@ MSM_MIN_LINK_MBPS = float(os.environ.get("SWTPU_MSM_MIN_MBPS", 8.0))
 _PROBE_BYTES = 8 << 20
 
 
-def _probe_link_mbps() -> float:
+def _probe_link() -> "tuple[float, float]":
+    """-> (bandwidth MB/s, per-op round-trip latency ms), fetch-inclusive."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -229,7 +234,7 @@ def _link_record() -> dict:
             return {"mbps": float(saved["mbps"]), "lat_ms": float(saved["lat_ms"])}
     except Exception:
         pass
-    mbps, lat_ms = _probe_link_mbps()
+    mbps, lat_ms = _probe_link()
     out = {"mbps": mbps, "lat_ms": lat_ms}
     try:
         with open(cache, "w") as f:

@@ -382,24 +382,6 @@ def device_grid_from_digits(digits_g: jnp.ndarray, n: int, depth: int,
     return idx, valid
 
 
-@lru_cache(maxsize=64)
-def _make_accumulate_digits(n_points: int, n_scalars: int, depth: int,
-                            w_count: int, segs: int, b: int,
-                            accum: str = "affine"):
-    """Jitted: (XYZ, [g, N] digits, offset) -> window sums, grid built on
-    device.  ``offset`` is a runtime scalar: degree-bound shifted commits
-    hit the SRS at a different offset per poly, and a static offset would
-    compile a fresh program each (VERDICT r4 session note)."""
-
-    def run(XYZ, digits_g, offset):
-        idx, valid = device_grid_from_digits(
-            digits_g.astype(jnp.int32), n_scalars, depth, segs, b, offset
-        )
-        return accumulate_windows(XYZ, idx, valid, w_count, segs, b, accum=accum)
-
-    return jax.jit(run)
-
-
 @lru_cache(maxsize=32)
 def _make_accumulate_multi(n_points: int, n_scalars: int, meta_key: tuple,
                            accum: str = "affine"):

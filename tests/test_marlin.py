@@ -178,3 +178,34 @@ def test_index_memo_same_structure_different_witness():
     proof = m.prove(pk2, manual_constraints.synthesize(9, 9))
     assert m.verify(vk2, [9], proof)
     m._INDEX_MEMO.clear()
+
+
+def test_pk_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """The index disk checkpoint reproduces equivalent pk/vk in a fresh
+    process (simulated by clearing the in-process memo): identical vk
+    bytes, identical index polynomials, and a proof from the reloaded pk
+    verifies against the originally-computed vk (VERDICT r4 #3)."""
+    import numpy as np
+
+    from simpleworks_tpu import marlin as m
+    from simpleworks_tpu.marlin.serialization import serialize_verifying_key
+
+    monkeypatch.setenv("SWTPU_PK_CACHE_DIR", str(tmp_path))
+    srs = m.universal_setup(100, 25, 300, m.generate_rand())
+    m._INDEX_MEMO.clear()
+    cs = manual_constraints.synthesize(3, 3)
+    pk1, vk1 = m.index(srs, cs)
+    assert any(f.name.startswith("pk_") for f in tmp_path.iterdir())
+    m._INDEX_MEMO.clear()
+    pk2, vk2 = m.index(srs, manual_constraints.synthesize(3, 3))
+    assert pk2 is not pk1  # reloaded from disk, not the memo
+    assert serialize_verifying_key(vk2) == serialize_verifying_key(vk1)
+    for m1, m2 in zip(pk1.index.matrices, pk2.index.matrices):
+        assert np.array_equal(m1.row_poly.vec.a, m2.row_poly.vec.a)
+        assert np.array_equal(m1.col_poly.vec.a, m2.col_poly.vec.a)
+        assert np.array_equal(m1.val_poly.vec.a, m2.val_poly.vec.a)
+        assert np.array_equal(m1.row_evals.a, m2.row_evals.a)
+        assert np.array_equal(m1.val_evals.a, m2.val_evals.a)
+    proof = m.prove(pk2, manual_constraints.synthesize(3, 3))
+    assert m.verify(vk1, [3], proof)
+    m._INDEX_MEMO.clear()
