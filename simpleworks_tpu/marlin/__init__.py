@@ -41,11 +41,14 @@ PROTOCOL_NAME = b"MARLIN-2019"
 
 #: canonical query orderings shared by prover and verifier
 BETA_POLYS = ["w", "z_a", "z_b", "mask", "t", "g_1", "h_1"]
+#: ark-marlin 0.3's 12-polynomial index vocabulary: row, col, val,
+#: row_col per matrix (VERDICT r4 #6; reference consumes it via
+#: src/marlin/serialization.rs:5-45)
 GAMMA_POLYS = [
     "g_2", "h_2",
-    "row_a", "col_a", "val_a",
-    "row_b", "col_b", "val_b",
-    "row_c", "col_c", "val_c",
+    "row_a", "col_a", "val_a", "row_col_a",
+    "row_b", "col_b", "val_b", "row_col_b",
+    "row_c", "col_c", "val_c", "row_col_c",
 ]
 INDEX_POLYS = GAMMA_POLYS[2:]
 #: proof-evaluation ordering: ark-marlin sorts the (label, value) pairs by
@@ -177,7 +180,7 @@ def _srs_fingerprint(srs: UniversalSRS) -> bytes:
 # limbs, our own cache format); K-evaluations are recomputed on load with
 # three routed NTT batches.  Disable with ``SWTPU_PK_DISK_CACHE=0``; point
 # elsewhere with ``SWTPU_PK_CACHE_DIR``.
-_PK_DISK_FORMAT = 1
+_PK_DISK_FORMAT = 2  # v2: 12-poly index vocabulary (row_col added)
 _PK_DISK_MAX_FILES = 4
 
 
@@ -223,6 +226,7 @@ def _save_pk_disk(path: str, pk: "IndexProverKey") -> None:
             arrays[f"row_{name}"] = mat.row_poly.vec.a
             arrays[f"col_{name}"] = mat.col_poly.vec.a
             arrays[f"val_{name}"] = mat.val_poly.vec.a
+            arrays[f"row_col_{name}"] = mat.row_col_poly.vec.a
         tmp = f"{path}.{os.getpid()}.tmp.npz"
         np.savez(tmp, **arrays)
         os.replace(tmp, path)
@@ -256,12 +260,14 @@ def _load_pk_disk(path: str, srs: UniversalSRS):
         row = DensePoly(polys[f"row_{name}"])
         col = DensePoly(polys[f"col_{name}"])
         val = DensePoly(polys[f"val_{name}"])
+        row_col = DensePoly(polys[f"row_col_{name}"])
         matrices.append(
             ahp.MatrixArithmetization(
-                row_poly=row, col_poly=col, val_poly=val,
+                row_poly=row, col_poly=col, val_poly=val, row_col_poly=row_col,
                 row_evals=domain_k.fft_vec(row.vec),
                 col_evals=domain_k.fft_vec(col.vec),
                 val_evals=domain_k.fft_vec(val.vec),
+                row_col_evals=domain_k.fft_vec(row_col.vec),
             )
         )
     idx = ahp.Index(info=vk.info, matrices=matrices)
@@ -284,6 +290,8 @@ def index(srs: UniversalSRS, cs) -> tuple[IndexProverKey, IndexVerifierKey]:
     if disk_path is not None:
         loaded = _load_pk_disk(disk_path, srs)
         if loaded is not None:
+            # num_instance is not serialized (ark IndexInfo): restore from cs
+            _fixup_num_instance(loaded[0].index.info, cs)
             if len(_INDEX_MEMO) >= _INDEX_MEMO_MAX:
                 _INDEX_MEMO.pop(next(iter(_INDEX_MEMO)))
             _INDEX_MEMO[memo_key] = loaded
@@ -299,6 +307,7 @@ def index(srs: UniversalSRS, cs) -> tuple[IndexProverKey, IndexVerifierKey]:
         commitments[f"row_{name}"] = kzg10.commit(srs, mat.row_poly)
         commitments[f"col_{name}"] = kzg10.commit(srs, mat.col_poly)
         commitments[f"val_{name}"] = kzg10.commit(srs, mat.val_poly)
+        commitments[f"row_col_{name}"] = kzg10.commit(srs, mat.row_col_poly)
     bounds = (idx.info.domain_h_size - 2, idx.info.domain_k_size - 2)
     vk = IndexVerifierKey(
         info=idx.info,
@@ -328,6 +337,15 @@ def _serialize_instance(instance: list[int]) -> bytes:
     return b"".join(Fr(v).serialize() for v in instance)
 
 
+def _fixup_num_instance(info: ahp.IndexInfo, cs) -> None:
+    """Restore the non-serialized input-domain fields from the constraint
+    system (ark's IndexInfo omits them; the prover reads them from the cs
+    it is proving — src/marlin/mod.rs:70-77 passes the cs alongside)."""
+    if not info.num_instance:
+        info.num_instance = cs.num_instance_variables
+        info.num_instance_padded = ahp.next_pow2(cs.num_instance_variables)
+
+
 def _degree_bounds(info: ahp.IndexInfo) -> dict[str, Optional[int]]:
     bounds: dict[str, Optional[int]] = {name: None for name in BETA_POLYS + GAMMA_POLYS}
     bounds["g_1"] = info.domain_h_size - 2
@@ -347,6 +365,7 @@ def prove(pk: IndexProverKey, cs, rng=None) -> MarlinProof:
     if rng is None:
         rng = test_rng()
     idx, srs, info = pk.index, pk.srs, pk.index.info
+    _fixup_num_instance(info, cs)  # deserialized keys omit the input domain
     bounds = _degree_bounds(info)
 
     fs = FiatShamirRng(
@@ -398,6 +417,7 @@ def prove(pk: IndexProverKey, cs, rng=None) -> MarlinProof:
         polys[f"row_{name}"] = mat.row_poly
         polys[f"col_{name}"] = mat.col_poly
         polys[f"val_{name}"] = mat.val_poly
+        polys[f"row_col_{name}"] = mat.row_col_poly
 
     evaluations: dict[str, int] = {}
     with PROVER_TIMER.region("evaluations"):
@@ -443,9 +463,10 @@ def verify(vk: IndexVerifierKey, public_inputs: list[int], proof: MarlinProof, r
     instance vector is [1, *public_inputs].
     """
     info = vk.info
+    # the input domain is re-derived from the instance as given (ark
+    # behavior — no eager length check): a wrong input count yields an x̂
+    # inconsistent with the proof and the outer sumcheck rejects
     instance = [1] + [int(v) % P for v in public_inputs]
-    if len(instance) != info.num_instance:
-        return False
     bounds = _degree_bounds(info)
 
     fs = FiatShamirRng(PROTOCOL_NAME + vk.transcript_bytes() + _serialize_instance(instance))

@@ -136,18 +136,17 @@ def serialize_verifying_key(vk: IndexVerifierKey) -> bytes:
     marlin_pc VerifierKey fields (g, γG, h, βH,
     degree_bounds_and_shift_powers, max_degree).
 
-    Index info is ark's field set — num_variables, num_constraints,
-    num_non_zero (ark-marlin 0.3 IndexInfo; VERDICT r3 #4) — plus a
-    trailing num_instance u64 (this verifier validates the public-input
-    length eagerly; ark re-derives it from the passed input).  Domain
-    sizes are derived on deserialization."""
+    Index info is exactly ark's field set — num_variables,
+    num_constraints, num_non_zero (ark-marlin 0.3 IndexInfo; the r4
+    trailing num_instance u64 is gone: like ark, the verifier re-derives
+    the input domain from the passed public input).  Domain sizes are
+    derived on deserialization."""
     out = bytearray()
     out += struct.pack(
-        "<4Q",
+        "<3Q",
         vk.info.num_variables,
         vk.info.num_constraints,
         vk.info.num_non_zero,
-        vk.info.num_instance,
     )
     out += struct.pack("<Q", len(INDEX_POLYS))
     for name in INDEX_POLYS:
@@ -170,13 +169,12 @@ def serialize_verifying_key(vk: IndexVerifierKey) -> bytes:
 
 
 def deserialize_verifying_key(data: bytes) -> IndexVerifierKey:
-    num_variables, num_constraints, num_non_zero, num_instance = struct.unpack_from(
-        "<4Q", data, 0
+    num_variables, num_constraints, num_non_zero = struct.unpack_from(
+        "<3Q", data, 0
     )
-    ell = next_pow2(num_instance)
     n = next_pow2(max(num_constraints, num_variables, 2))
     m = next_pow2(max(num_non_zero, 2))
-    off = 32
+    off = 24
     (n_comms,) = struct.unpack_from("<Q", data, off)
     off += 8
     ensure(n_comms == len(INDEX_POLYS), "unexpected index-commitment count")
@@ -210,12 +208,15 @@ def deserialize_verifying_key(data: bytes) -> IndexVerifierKey:
         off += 1
     (srs_max,) = struct.unpack_from("<Q", data, off)
     off += 8
+    # num_instance is not part of ark's IndexInfo: the verifier derives
+    # the input domain from the passed public input, and the prover from
+    # the constraint system (marlin.index/prove fix these up from cs)
     info = IndexInfo(
-        num_instance_padded=ell,
-        num_instance=num_instance,
+        num_instance_padded=0,
+        num_instance=0,
         domain_h_size=n,
         domain_k_size=m,
-        max_degree=max(3 * n - 1, 6 * m - 6),
+        max_degree=max(3 * n - 1, 3 * m - 3),
         num_variables=num_variables,
         num_constraints=num_constraints,
         num_non_zero=num_non_zero,
@@ -243,7 +244,7 @@ def serialize_proving_key(pk) -> bytes:
     out += len(vk_bytes).to_bytes(8, "little")
     out += vk_bytes
     for mat in pk.index.matrices:
-        for poly in (mat.row_poly, mat.col_poly, mat.val_poly):
+        for poly in (mat.row_poly, mat.col_poly, mat.val_poly, mat.row_col_poly):
             out += len(poly.vec).to_bytes(8, "little")
             # standard-form u64 LE limbs == the 32B-LE Fr serde bytes
             out += poly.vec.to_std_array().tobytes()
@@ -281,19 +282,20 @@ def deserialize_proving_key(data: bytes):
     matrices = []
     for _ in range(3):
         polys = []
-        for _ in range(3):
+        for _ in range(4):
             n_coeffs = int.from_bytes(data[off : off + 8], "little")
             off += 8
             std = np.frombuffer(data[off : off + 32 * n_coeffs], dtype="<u8")
             off += 32 * n_coeffs
             polys.append(DensePoly(FrVec.from_std_array(std.reshape(-1, 4))))
-        row, col, val = polys
+        row, col, val, row_col = polys
         matrices.append(
             MatrixArithmetization(
-                row_poly=row, col_poly=col, val_poly=val,
+                row_poly=row, col_poly=col, val_poly=val, row_col_poly=row_col,
                 row_evals=domain_k.fft_vec(row.vec),
                 col_evals=domain_k.fft_vec(col.vec),
                 val_evals=domain_k.fft_vec(val.vec),
+                row_col_evals=domain_k.fft_vec(row_col.vec),
             )
         )
     n_powers = int.from_bytes(data[off : off + 8], "little")

@@ -14,9 +14,10 @@ def srs():
 
 
 def test_srs_shape(srs):
-    # n = 128, m = 512 → degree max(3·128−3, 6·512−6) = 3066
-    assert srs.max_degree == 3066
-    assert len(srs.powers_of_g) == 3067
+    # n = 128, m = 512 → degree max(3·128−1, 3·512−3) = 1533 (the row_col
+    # linearization caps the inner sumcheck at 3m−3, halving the SRS)
+    assert srs.max_degree == 1533
+    assert len(srs.powers_of_g) == 1534
 
 
 def test_marlin_round_trip_manual_constraints(srs):
@@ -209,3 +210,30 @@ def test_pk_disk_cache_roundtrip(tmp_path, monkeypatch):
     proof = m.prove(pk2, manual_constraints.synthesize(3, 3))
     assert m.verify(vk1, [3], proof)
     m._INDEX_MEMO.clear()
+
+
+def test_index_row_col_vocabulary(srs):
+    """ark-marlin 0.3's 12-poly index vocabulary (VERDICT r4 #6): row_col
+    interpolates row·col on K (committed + opened), the vk carries 12
+    index commitments, and b̂(γ) built linearly from the openings equals
+    the verifier's inner-sumcheck denominators."""
+    import numpy as np
+
+    from simpleworks_tpu import marlin as m
+    from simpleworks_tpu.marlin import INDEX_POLYS
+
+    assert len(INDEX_POLYS) == 12
+    cs = manual_constraints.synthesize(3, 3)
+    pk, vk = m.index(srs, cs)
+    assert set(vk.index_commitments) == set(INDEX_POLYS)
+    for mat in pk.index.matrices:
+        assert np.array_equal(
+            mat.row_col_evals.a, (mat.row_evals * mat.col_evals).a
+        )
+        # the linearization is a genuine degree reduction: row_col as a
+        # polynomial has degree < m, while the literal product would not
+        assert mat.row_col_poly.degree() < pk.index.info.domain_k_size
+    proof = m.prove(pk, cs)
+    for name in ("row_col_a", "row_col_b", "row_col_c"):
+        assert name in proof.evaluations
+    assert m.verify(vk, [3], proof)
