@@ -80,7 +80,11 @@ def _probe_device_subprocess() -> dict:
         if out.returncode == 0:
             info = json.loads(out.stdout.decode().strip().splitlines()[-1])
             return {"ok": info["platform"] != "cpu", **info}
-    except (subprocess.TimeoutExpired, OSError, ValueError, KeyError, IndexError):
+    except subprocess.TimeoutExpired:
+        # a genuine wedge (the probe burned its whole deadline) — callers
+        # pin the process to CPU so in-process dispatches cannot hang
+        return {"ok": False, "timeout": True}
+    except (OSError, ValueError, KeyError, IndexError):
         pass
     return {"ok": False}
 
@@ -145,7 +149,16 @@ def _cpu_pinned() -> bool:
         return False
 
 
-@lru_cache(maxsize=1)
+#: in-process availability state: a healthy verdict is sticky (the first
+#: device dispatch binds the backend — flipping later is pointless), but a
+#: FAILED verdict is only held for PROBE_TTL_BAD and then re-checked.  The
+#: axon tunnel flaps on minute timescales; an lru-cached False used to pin
+#: a whole multi-minute prove to the host because one probe at process
+#: start caught a bad moment (observed round 5: a 700 s run went all-native
+#: over a probe that failed 5 s before its cache expired).
+_AVAIL_STATE: dict = {"value": None, "until": 0.0}
+
+
 def device_available() -> bool:
     flag = os.environ.get("SWTPU_ACCEL")
     if flag == "0":
@@ -156,13 +169,33 @@ def device_available() -> bool:
     # run never wants the device anyway
     if _cpu_pinned():
         return False
+    st = _AVAIL_STATE
+    now = time.time()
+    if st["value"] is True:
+        return True
+    if st["value"] is False and now < st["until"]:
+        return False
     rec = _cached_probe()
     if not rec.get("ok"):
-        # keep any later stray jnp dispatch off the (possibly wedged)
-        # default backend too
-        _pin_cpu()
+        if rec.get("timeout"):
+            # genuine wedge: keep any later stray jnp dispatch off the
+            # wedged backend too (this also makes the False permanent for
+            # the process via _cpu_pinned above)
+            _pin_cpu()
+        st["value"] = False
+        st["until"] = now + PROBE_TTL_BAD
         return False
+    st["value"] = True
     return True
+
+
+def _avail_cache_clear() -> None:
+    _AVAIL_STATE["value"] = None
+    _AVAIL_STATE["until"] = 0.0
+
+
+#: lru_cache-compatible test hook (tests/test_accel_routing.py)
+device_available.cache_clear = _avail_cache_clear
 
 
 def _forced() -> bool:
@@ -214,15 +247,21 @@ def _probe_link() -> "tuple[float, float]":
     )
 
 
-@lru_cache(maxsize=1)
+_LINK_MEMO: dict = {}
+
+
 def _link_record() -> dict:
     """{"mbps", "lat_ms"} — probed once, cached per device kind in the
     temp dir (so short CLI runs skip the probe).  Only consulted after
     ``device_available()`` verified the backend healthy, so the device
     kind comes from that probe record — never an in-process
-    ``jax.devices()`` that could block on a wedged link."""
+    ``jax.devices()`` that could block on a wedged link.  The
+    unavailable result is NOT memoized in-process: availability can heal
+    mid-process (see _AVAIL_STATE)."""
     if not device_available():
         return {"mbps": 0.0, "lat_ms": float("inf")}
+    if "rec" in _LINK_MEMO:
+        return _LINK_MEMO["rec"]
     rec = _cached_probe() if not _forced() else {}
     kind = str(rec.get("kind", "forced")).replace(" ", "_").replace("/", "_")
     # v2: probe methodology changed (fetch-inclusive); stale v1 records
@@ -231,17 +270,28 @@ def _link_record() -> dict:
     try:
         with open(cache) as f:
             saved = json.load(f)
-            return {"mbps": float(saved["mbps"]), "lat_ms": float(saved["lat_ms"])}
+        out = {"mbps": float(saved["mbps"]), "lat_ms": float(saved["lat_ms"])}
+        _LINK_MEMO["rec"] = out
+        return out
     except Exception:
         pass
     mbps, lat_ms = _probe_link()
     out = {"mbps": mbps, "lat_ms": lat_ms}
+    _LINK_MEMO["rec"] = out
     try:
         with open(cache, "w") as f:
             json.dump(out, f)
     except OSError:
         pass
     return out
+
+
+def _link_cache_clear() -> None:
+    _LINK_MEMO.pop("rec", None)
+
+
+#: lru_cache-compatible test hook (tests/test_wedge_proof.py)
+_link_record.cache_clear = _link_cache_clear
 
 
 def link_bandwidth_mbps() -> float:
@@ -290,6 +340,24 @@ def use_device_msm(n: int) -> bool:
     if _forced():
         return True
     return n < MSM_DEVICE_MAX_N and link_bandwidth_mbps() >= MSM_MIN_LINK_MBPS
+
+
+#: device-resident prover (marlin/device_prover.py): the whole AHP keeps
+#: its polynomial plane on the chip, so per-call link economics stop
+#: mattering — engage whenever the probed device is healthy and the
+#: circuit is big enough that compile/dispatch overheads amortize.
+#: SWTPU_DEVICE_PROVER=1 forces (any backend, used by the bit-exactness
+#: tests on CPU); =0 disables.
+DEVICE_PROVER_THRESHOLD = int(os.environ.get("SWTPU_DEVICE_PROVER_THRESHOLD", 1 << 14))
+
+
+def use_device_prover(domain_h_size: int) -> bool:
+    flag = os.environ.get("SWTPU_DEVICE_PROVER")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return domain_h_size >= DEVICE_PROVER_THRESHOLD and device_available()
 
 
 FIXED_BASE_THRESHOLD = int(os.environ.get("SWTPU_FIXED_BASE_THRESHOLD", 1 << 16))

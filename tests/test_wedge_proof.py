@@ -97,7 +97,7 @@ def test_probe_subprocess_deadline(monkeypatch):
     as a wedged link."""
     monkeypatch.setattr(accel, "PROBE_TIMEOUT", 1.0)
     monkeypatch.setattr(accel, "_PROBE_SRC", "import time; time.sleep(30)")
-    assert accel._probe_device_subprocess() == {"ok": False}
+    assert accel._probe_device_subprocess() == {"ok": False, "timeout": True}
 
 
 def test_probe_verdict_cached_on_disk(monkeypatch, tmp_path):
