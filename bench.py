@@ -54,6 +54,7 @@ LEG_TIMEOUTS = {
     "ntt": 180,
     "msm": 420,
     "marlin": 720,
+    "marlin_host": 600,
     "scaling": 300,
 }
 
@@ -542,7 +543,27 @@ def main() -> None:
         extra.update(result)
         extra["marlin_backend"] = "tpu-device" if device_ok else "cpu-host-path"
     else:
-        extra["marlin_leg_failed"] = True
+        # a tunnel that wedges MID-prove hangs the leg past its deadline;
+        # rerun host-pinned so the record always carries a real prove
+        # number instead of marlin_leg_failed
+        extra["marlin_device_leg_failed"] = True
+        saved = os.environ.get("SWTPU_ACCEL")
+        os.environ["SWTPU_ACCEL"] = "0"
+        os.environ["SWTPU_BENCH_FORCE_CPU"] = "1"
+        try:
+            result = run_leg("marlin_host", "bench_marlin_prove")
+        finally:
+            if saved is None:
+                os.environ.pop("SWTPU_ACCEL", None)
+            else:
+                os.environ["SWTPU_ACCEL"] = saved
+            if device_ok:
+                os.environ.pop("SWTPU_BENCH_FORCE_CPU", None)
+        if result is not None:
+            extra.update(result)
+            extra["marlin_backend"] = "cpu-host-path (device leg wedged)"
+        else:
+            extra["marlin_leg_failed"] = True
     emit()
     scaling = run_leg("scaling", "bench_scaling")
     if scaling:

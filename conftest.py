@@ -22,8 +22,12 @@ try:
 
     jax.config.update("jax_platforms", "cpu")
     # persistent compilation cache: the unrolled limb kernels are expensive
-    # to compile on the 2-vCPU test box; cache across runs.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/swtpu_jax_cache")
+    # to compile on the 2-vCPU test box; cache across runs.  Per-HOST dir:
+    # XLA:CPU AOT artifacts bake in the compile machine's CPU features and
+    # run pathologically (or SIGILL) elsewhere — ops/accel.host_cache_dir.
+    from simpleworks_tpu.ops.accel import host_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir", host_cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass

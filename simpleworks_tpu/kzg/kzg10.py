@@ -308,8 +308,12 @@ def _srs_msm(srs: UniversalSRS, coeffs, offset: int = 0) -> G1Point:
         from ..ops import msm_pippenger
 
         with PROVER_TIMER.region("srs_msm.device"):
-            return msm_pippenger.msm_device(
-                srs.device_powers(), vec.to_std_array(), offset=offset
+            # Montgomery-form entry: mont->std + digit derivation run on
+            # device (one Pallas multiply by literal 1), so the host ships
+            # u16 Montgomery limbs — or nothing at all when the coeffs are
+            # already device-resident from an NTT chain
+            return msm_pippenger.msm_device_mont(
+                srs.device_powers(), vec, offset=offset
             )
     if native.available():
         with PROVER_TIMER.region("srs_msm.from_mont"):

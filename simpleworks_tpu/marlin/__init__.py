@@ -366,6 +366,17 @@ def prove(pk: IndexProverKey, cs, rng=None) -> MarlinProof:
         rng = test_rng()
     idx, srs, info = pk.index, pk.srs, pk.index.info
     _fixup_num_instance(info, cs)  # deserialized keys omit the input domain
+
+    from ..ops import accel
+
+    if srs.powers_native is not None and accel.use_device_prover(info.domain_h_size):
+        from .device_prover import prove_device
+
+        with PROVER_TIMER.region("prove.device_plane"):
+            proof = prove_device(pk, cs, rng)
+        maybe_report_prover("marlin.prove")
+        return proof
+
     bounds = _degree_bounds(info)
 
     fs = FiatShamirRng(

@@ -43,6 +43,7 @@ from ..curves.bls12_377 import G1Point
 from . import g1_limb
 
 SCALAR_BITS = 256
+TILE_PAD = 512  # mont_mul_pallas.TILE: device-scalar batches pad to this
 
 
 def default_accum() -> str:
@@ -329,8 +330,13 @@ def build_schedule_meta(digits: np.ndarray, c: int):
         live = np.nonzero(counts[w])[0]
         max_digit = int(live.max()) if live.size else 1
         per_window.append((w, d_w, max_digit))
+    return _meta_from_stats(per_window)
 
-    per_window.sort(key=lambda t: t[1])
+
+def _meta_from_stats(per_window: list):
+    """Shared grouping policy: [(w, max_bucket_occupancy, max_digit)] ->
+    [(window_ids, segs, b_g, depth)] (see build_schedule for rationale)."""
+    per_window = sorted(per_window, key=lambda t: t[1])
     groups: list[list[tuple]] = []
     for entry in per_window:
         if groups and entry[1] <= max(2 * max(groups[-1][0][1], 8), 64):
@@ -410,8 +416,156 @@ def _make_accumulate_multi(n_points: int, n_scalars: int, meta_key: tuple,
 
 def _auto_window_bits(n: int) -> int:
     """Window size minimizing scan work (N·W) + bucket-combine work
-    (2c·W·2^c): larger windows win once N amortizes the combine."""
+    (2c·W·2^c): larger windows win once N amortizes the combine.
+    Override with ``SWTPU_MSM_C``."""
+    import os
+
+    flag = os.environ.get("SWTPU_MSM_C")
+    if flag:
+        return int(flag)
     return 13 if n >= (1 << 19) else 8
+
+
+# ----------------------------------- device-resident scalars ---------------
+#
+# The prover's polynomial coefficients live (or can live) on the device in
+# the NTT's [16, N]-u32 Montgomery limb layout.  This entry derives the
+# Pippenger digits ON DEVICE from that representation — one Pallas
+# Montgomery multiply by literal 1 (mont→standard, canonical) plus limb
+# reinterpretation — so a commit consumes device-resident round output
+# with only a [W, 2]-int stats fetch and the tiny window sums crossing the
+# link.  Bit-exact with msm_device (same accumulate programs).
+
+
+def _digits_from_std16(std16: jnp.ndarray, c: int) -> jnp.ndarray:
+    """[16, N] u32 standard-form 16-bit limbs -> [W, N] int32 digits
+    (traced; c = 16/8 are pure reinterpretations)."""
+    if c == 16:
+        return std16.astype(jnp.int32)
+    if c == 8:
+        lo = std16 & 0xFF
+        hi = std16 >> 8
+        return (
+            jnp.stack([lo, hi], axis=1).reshape(32, std16.shape[1]).astype(jnp.int32)
+        )
+    mask = jnp.uint32((1 << c) - 1)
+    w_count = (SCALAR_BITS + c - 1) // c
+    rows = []
+    for w in range(w_count):
+        l0, off = divmod(w * c, 16)
+        d = std16[l0] >> off
+        if off + c > 16 and l0 + 1 < 16:
+            d = d | (std16[l0 + 1] << (16 - off))
+        rows.append(d & mask)
+    return jnp.stack(rows).astype(jnp.int32)
+
+
+@lru_cache(maxsize=32)
+def _make_mont_digits(qn: int, c: int):
+    """Jitted: [16, qn] u32 Montgomery limbs -> (digits [W, qn] i32,
+    occupancy [W] i32, max_live_digit [W] i32).  Stats come from a sorted
+    count pass (searchsorted over the 2^c bucket boundaries), the only
+    data-dependent shape information the host needs."""
+    from ..fields.bls12_377 import Fr
+
+    b = 1 << c
+    one_np = np.zeros((16, 1), np.uint32)
+    one_np[0, 0] = 1  # literal 1: montmul(v·R, 1) = v, canonical
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        from .mont_mul_pallas import make_mont_mul
+
+        mul = make_mont_mul(Fr.PARAMS)
+    else:
+        from ..fields.device import DeviceField
+
+        df = DeviceField(Fr.PARAMS)
+
+        def mul(a, bb):  # pure-XLA twin on the CPU/virtual backend
+            return df.mul(a.T, bb.T).T
+
+    def run(mont_u32):
+        ones = jnp.broadcast_to(jnp.asarray(one_np), mont_u32.shape)
+        std16 = mul(mont_u32, ones)
+        digits = _digits_from_std16(std16, c)
+        sd = jnp.sort(digits, axis=1)
+        targets = jax.lax.iota(jnp.int32, b + 1).reshape(b + 1, 1)
+        starts = jax.vmap(lambda row: jnp.searchsorted(row, targets[:, 0]))(sd)
+        counts = starts[:, 1:] - starts[:, :-1]  # [W, b]
+        occ = jnp.max(counts[:, 1:], axis=1)
+        live = jnp.max(
+            jnp.where(counts > 0, jax.lax.iota(jnp.int32, b)[None, :], 0), axis=1
+        )
+        return digits, jnp.stack([occ, live], axis=1)
+
+    return jax.jit(run)
+
+
+def msm_device_mont(points_lm, coeffs, offset: int = 0, c: int | None = None) -> G1Point:
+    """MSM of Montgomery-form coefficients against points
+    ``offset..offset+N`` of the limb-major device table.
+
+    ``coeffs``: an FrVec (host [N, 4] u64 Montgomery limbs — uploaded as
+    u16, half the bytes of standard-form digits at c=8), or a [16, N] u32
+    device array already resident from an NTT chain (zero upload)."""
+    from ..fields.frvec import FrVec
+
+    if isinstance(coeffs, FrVec):
+        n = len(coeffs)
+        mont = None if n == 0 else coeffs.a.view("<u2").reshape(n, 16).T
+    else:
+        mont = coeffs
+        n = int(mont.shape[1])
+    if n == 0:
+        return G1Point.identity()
+    if c is None:
+        c = _auto_window_bits(n)
+    accum = default_accum()
+    w_count = (SCALAR_BITS + c - 1) // c
+    qn = _quantize_n(n)
+    qn = ((qn + TILE_PAD - 1) // TILE_PAD) * TILE_PAD  # Pallas tile multiple
+    if isinstance(mont, np.ndarray):
+        if qn != n:
+            mont = np.concatenate(
+                [mont, np.zeros((16, qn - n), mont.dtype)], axis=1
+            )
+        mont_dev = jnp.asarray(mont).astype(jnp.uint32)
+    else:
+        if qn != n:
+            mont = jnp.pad(mont, ((0, 0), (0, qn - n)))
+        mont_dev = mont.astype(jnp.uint32)
+
+    digits, stats = _make_mont_digits(qn, c)(mont_dev)
+    stats_np = np.asarray(stats)  # ONE tiny fetch: [W, 2]
+    per_window = [
+        (w, int(stats_np[w, 0]), max(int(stats_np[w, 1]), 1))
+        for w in range(w_count)
+    ]
+    metas = _meta_from_stats(per_window)
+    meta_key = tuple((len(ids), segs, b_g, depth) for ids, segs, b_g, depth in metas)
+    XYZ = points_lm if not isinstance(points_lm, tuple) else jnp.stack(points_lm)
+    fn = _make_accumulate_multi(XYZ.shape[2], qn, meta_key, accum)
+    stacked = np.asarray(
+        fn(
+            XYZ,
+            jnp.int32(offset),
+            *(digits[jnp.asarray(ids, dtype=jnp.int32)] for ids, *_ in metas),
+        )
+    )
+    window_points = [G1Point.identity()] * w_count
+    col = 0
+    for window_ids, *_ in metas:
+        g = len(window_ids)
+        wins = tuple(stacked[k, :, col : col + g] for k in range(3))
+        col += g
+        for w, pt in zip(window_ids, g1_limb.points_from_limb_major(wins)):
+            window_points[w] = pt
+    total = G1Point.identity()
+    for wp in reversed(window_points):
+        for _ in range(c):
+            total = total.double()
+        total = total.add(wp)
+    return total
 
 
 def _quantize_n(n: int) -> int:

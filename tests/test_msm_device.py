@@ -257,3 +257,39 @@ def test_fused_add_matches_composed_and_host(monkeypatch):
         tuple(a[:, :8] for a in g1_limb._madd_composed(P3, Q2))
     )
     assert mgot == mcomposed == host
+
+
+@pytest.mark.parametrize("c", [8, 13])
+def test_msm_device_mont_matches_host(c):
+    # c=16 is excluded here: 2^16 buckets for a 40-point test is a
+    # pathological CPU-compile shape; the window sizes the router
+    # actually picks (8/13) cover both digit-derivation layouts
+    """The Montgomery-form entry (digits derived on device from [16, N]
+    u32 mont limbs via a multiply-by-1) is bit-exact with the standard
+    Pippenger oracle at every window size, including from an
+    already-device-resident array."""
+    import jax.numpy as jnp
+
+    n = 40
+    pts = make_points(n)
+    scalars = [int.from_bytes(rng.bytes(33), "little") % FR_MODULUS for _ in range(n)]
+    scalars[0] = 0
+    scalars[3] = 1
+    lm = g1_limb.points_to_limb_major_affine(pts)
+    vec = FrVec.from_ints(scalars)
+    got = msm_pippenger.msm_device_mont(lm, vec, c=c)
+    expect = msm(pts, scalars)
+    assert got == expect
+    # device-array input path (what an NTT chain hands over)
+    mont_dev = jnp.asarray(vec.a.view("<u2").reshape(n, 16).T.copy()).astype(
+        jnp.uint32
+    )
+    assert msm_pippenger.msm_device_mont(lm, mont_dev, c=c) == expect
+
+
+def test_msm_device_mont_offset():
+    pts = make_points(20)
+    lm = g1_limb.points_to_limb_major_affine(pts)
+    scalars = [i * 31 + 5 for i in range(10)]
+    got = msm_pippenger.msm_device_mont(lm, FrVec.from_ints(scalars), offset=6, c=8)
+    assert got == msm(pts[6:16], scalars)
