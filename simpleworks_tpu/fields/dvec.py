@@ -84,17 +84,29 @@ def _elementwise_ops(on_tpu: bool):
     )
 
 
+def _quant_width(n: int) -> int:
+    """Quantize a batch width to a 2-significant-bit grid (≥ one Pallas
+    tile): every distinct width is a separate XLA/Mosaic compile — on the
+    tunneled backend a REMOTE one — so the dozen polynomial widths of a
+    prove collapse onto ≤4 shapes per octave."""
+    if n <= _TILE:
+        return _TILE
+    step = 1 << max(9, n.bit_length() - 3)
+    return ((n + step - 1) // step) * step
+
+
 def _tile_safe(op):
-    """Pad the batch axis to the Pallas tile multiple, run, slice back —
-    lets every op accept arbitrary widths (powers build, scan interiors)."""
+    """Pad the batch axis to the quantized width, run, slice back — lets
+    every op accept arbitrary widths (powers build, scan interiors)."""
 
     def run(a, b):
         n = a.shape[1]
         if n == 0:
             return a
-        pad = (-n) % _TILE
-        if pad == 0:
+        qn = _quant_width(n)
+        if qn == n:
             return op(a, b)
+        pad = qn - n
         return op(
             jnp.pad(a, ((0, 0), (0, pad))), jnp.pad(b, ((0, 0), (0, pad)))
         )[:, :n]
@@ -146,10 +158,12 @@ def _pow_fn(on_tpu: bool, exponent: int):
 def pow_const(a, exponent: int):
     fn = _pow_fn(_on_tpu(), exponent)
     n = a.shape[1]
-    pad = (-n) % _TILE
-    if pad == 0 or not _on_tpu():
+    if not _on_tpu():
         return fn(a)
-    return fn(jnp.pad(a, ((0, 0), (0, pad))))[:, :n]
+    qn = _quant_width(n)
+    if qn == n:
+        return fn(a)
+    return fn(jnp.pad(a, ((0, 0), (0, qn - n))))[:, :n]
 
 
 # ---------------------------------------------------------------- reshape ----
@@ -232,36 +246,38 @@ def divide_by_vanishing(a, ell: int):
     return quotient, remainder
 
 
-def divide_by_linear(a, z_mont):
-    """(quotient [16, N−1], remainder [16, 1]) of division by (X − z):
-    the Horner recurrence acc ← z·acc + c composed associatively —
-    combine((m₁,a₁),(m₂,a₂)) = (m₁m₂, m₂a₁ + a₂) on affine maps."""
+def divide_by_linear(a, z_mont, z_int: int | None = None):
+    """(quotient [16, N−1], remainder [16, 1]) of division by (X − z).
+
+    Suffix-Horner formulation: with w_t = c_t·z^t and S_j = Σ_{t≥j} w_t,
+    the quotient is q_j = z^{−(j+1)}·S_{j+1} and the remainder is
+    S_0 = p(z).  Two powers builds + two multiplies + ONE suffix-sum
+    associative_scan whose combine is the cheap modular add — an earlier
+    formulation composed Horner affine maps through the full Montgomery
+    multiply and its associative_scan graph took tens of minutes of XLA
+    compile at n ≈ 4·10⁵.  Requires z ≠ 0 (z is a Fiat-Shamir challenge;
+    the z = 0 measure-zero case degenerates to a coefficient shift).
+
+    ``z_int``: standard-form int of z when the caller has it (used to
+    build the power tables host-side; required on the TPU path)."""
     n = a.shape[1]
     if n == 0:
         return a, jnp.zeros((L, 1), jnp.uint32)
-    z_col = jnp.broadcast_to(jnp.asarray(z_mont), (L, n))
-    rev = a[:, ::-1]  # process high -> low
-
-    # pure-jnp combine: associative_scan calls it on halved widths that
-    # break the Pallas tile constraint, so route through the XLA twin
-    df = _df()
-
-    def _m(x, y):
-        return df.mul(jnp.moveaxis(x, 0, -1), jnp.moveaxis(y, 0, -1))
-
-    def combine(e1, e2):
-        m1, a1 = e1
-        m2, a2 = e2
-        prod = jnp.moveaxis(_m(m1, m2), -1, 0)
-        term = jnp.moveaxis(_m(m2, a1), -1, 0)
-        return prod, _addcarry_pair(term, a2)
-
-    m_all, acc = jax.lax.associative_scan(combine, (z_col, rev), axis=1)
-    del m_all
-    # acc[:, j] = Horner state after coeffs n-1 .. n-1-j; quotient coeff
-    # q_{n-2-j} = acc[:, j] for j < n-1; remainder = acc[:, n-1]
-    quotient = acc[:, : n - 1][:, ::-1]
-    remainder = acc[:, n - 1 : n]
+    if z_int is None:
+        raise ValueError("divide_by_linear needs the standard-form point")
+    z = z_int % P
+    if z == 0:
+        return a[:, 1:], a[:, :1]
+    w = mul(a, powers_vec(z, n))
+    s = jax.lax.associative_scan(_addcarry_pair, w, axis=1, reverse=True)
+    z_inv = pow(z, P - 2, P)
+    # z^{-(j+1)} for j = 0..n-2
+    inv_pows = mul(
+        powers_vec(z_inv, n - 1) if n > 1 else jnp.zeros((L, 0), jnp.uint32),
+        jnp.broadcast_to(jnp.asarray(mont_scalar_np(z_inv)), (L, max(n - 1, 0))),
+    )
+    quotient = mul(s[:, 1:], inv_pows)
+    remainder = s[:, :1]
     return quotient, remainder
 
 

@@ -181,7 +181,9 @@ def _srs_fingerprint(srs: UniversalSRS) -> bytes:
 # three routed NTT batches.  Disable with ``SWTPU_PK_DISK_CACHE=0``; point
 # elsewhere with ``SWTPU_PK_CACHE_DIR``.
 _PK_DISK_FORMAT = 2  # v2: 12-poly index vocabulary (row_col added)
-_PK_DISK_MAX_FILES = 4
+# enough slots that the demo/test workloads' small keys don't evict the
+# reference-scale one the bench reloads
+_PK_DISK_MAX_FILES = 8
 
 
 def _pk_disk_path(srs_fp: bytes, matrix_fp: bytes) -> "str | None":

@@ -174,12 +174,12 @@ def _batch_open_dev(srs, labeled_dev, point: int, xi: int, rands=None):
         for w, blind in blind_terms:
             combined_blind = combined_blind + blind.scale(w)
     with PROVER_TIMER.region("kzg.batch_open.divide"):
-        witness_d, _rem = dvec.divide_by_linear(acc, dvec.mont_scalar_np(point))
+        witness_d, _rem = dvec.divide_by_linear(acc, dvec.mont_scalar_np(point), z_int=point)
     with PROVER_TIMER.region("kzg.batch_open.msm"):
         points = srs.device_powers()
         w_point = msm_device_mont(points, witness_d)
         for w, poly_d, shift in shifted_terms:
-            quot_d, _ = dvec.divide_by_linear(poly_d, dvec.mont_scalar_np(point))
+            quot_d, _ = dvec.divide_by_linear(poly_d, dvec.mont_scalar_np(point), z_int=point)
             if quot_d.shape[1]:
                 quot_scaled = dvec.scale(quot_d, dvec.mont_scalar_np(w))
                 w_point = w_point.add(

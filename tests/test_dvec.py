@@ -75,7 +75,7 @@ def test_divide_by_vanishing(n, ell):
 def test_divide_by_linear():
     a = rand_vec(33)
     z = 424242
-    q, r = dvec.divide_by_linear(dvec.from_frvec(a), dvec.mont_scalar_np(z))
+    q, r = dvec.divide_by_linear(dvec.from_frvec(a), dvec.mont_scalar_np(z), z_int=z)
     qh, rh = a.div_linear(z)
     assert dvec.to_frvec(q).to_ints() == qh.to_ints()
     assert dvec.scalar_to_int(r) == rh
