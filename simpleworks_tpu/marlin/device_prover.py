@@ -119,27 +119,58 @@ def _commit_dev(srs, poly_d, degree_bound=None, hiding_rng=None, width_hint=None
     return Commitment(comm=c, shifted_comm=shifted, degree_bound=degree_bound), rand
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16)
+def _combine_fn(widths: tuple, maxw: int):
+    """One jitted ξ-weighted axpy over all polynomials of a batch opening
+    (weights arrive as a runtime [k, 16, 1] Montgomery stack)."""
+
+    def run(weights, *arrs):
+        acc = jnp.zeros((16, maxw), jnp.uint32)
+        for i, a in enumerate(arrs):
+            acc = dvec.add(
+                acc,
+                dvec.mul(
+                    dvec.pad_to(a, maxw),
+                    jnp.broadcast_to(weights[i], (16, maxw)),
+                ),
+            )
+        return acc
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=16)
+def _eval_many_fn(widths: tuple, maxw: int):
+    """One jitted program evaluating every poly: per-poly multiply by the
+    shared powers table + a raw-u64 limb sum (no modular tree) — ONE
+    dispatch + ONE fetch instead of ~20 dispatches per polynomial, which
+    cost ~90 ms each through the tunnel (39 s of a 103 s prove)."""
+
+    def run(pw, *arrs):
+        sums = [
+            dvec.sum_limbs_u64(dvec.mul(dvec.pad_to(a, maxw), pw))
+            for a in arrs
+        ]
+        return jnp.stack(sums)  # [k, 16] u64
+
+    return jax.jit(run)
+
+
 def _evaluate_many(polys_d: list, z: int) -> list[int]:
     """Evaluate several device coefficient arrays at z with one shared
-    powers build and ONE host fetch."""
+    powers build, one fused device program, and ONE host fetch."""
     if not polys_d:
         return []
-    # one shared width: every distinct shape is a separate (remote) XLA
-    # compile, and zero padding is free in the dot
-    maxw = max(int(p.shape[1]) for p in polys_d)
+    widths = tuple(int(p.shape[1]) for p in polys_d)
+    maxw = max(widths)
     pw = dvec.powers_vec(z, maxw)
-    cols = [
-        dvec.sum_reduce(dvec.mul(dvec.pad_to(p, maxw), pw)) for p in polys_d
-    ]
-    stacked = np.asarray(jax.device_get(jnp.concatenate(cols, axis=1)))
-    rinv = pow(Fr.PARAMS.montgomery_r, -1, P)
-    out = []
-    for k in range(stacked.shape[1]):
-        m = 0
-        for t in range(15, -1, -1):
-            m = (m << 16) | int(stacked[t, k])
-        out.append(m * rinv % P)
-    return out
+    raw = np.asarray(
+        jax.device_get(_eval_many_fn(widths, maxw)(pw, *polys_d))
+    )
+    return [dvec.limb_sums_to_int(raw[k]) for k in range(len(polys_d))]
 
 
 def _batch_open_dev(srs, labeled_dev, point: int, xi: int, rands=None):
@@ -165,11 +196,13 @@ def _batch_open_dev(srs, labeled_dev, point: int, xi: int, rands=None):
 
     with PROVER_TIMER.region("kzg.batch_open.combine"):
         max_len = max(int(p.shape[1]) for _, p in base_terms)
-        acc = jnp.zeros((16, max_len), jnp.uint32)
-        for w, poly_d in base_terms:
-            # pad BEFORE scaling: one axpy shape instead of one per width
-            term = dvec.scale(dvec.pad_to(poly_d, max_len), dvec.mont_scalar_np(w))
-            acc = dvec.add(acc, term)
+        widths = tuple(int(p.shape[1]) for _, p in base_terms)
+        weights = jnp.asarray(
+            np.stack([dvec.mont_scalar_np(w) for w, _ in base_terms])
+        )
+        acc = _combine_fn(widths, max_len)(
+            weights, *(p for _, p in base_terms)
+        )
         combined_blind = DensePoly.zero()
         for w, blind in blind_terms:
             combined_blind = combined_blind + blind.scale(w)
@@ -377,7 +410,9 @@ def prove_device(pk, cs, rng):
                 ),
             )
         f_evals = dvec.scale(f_evals, dvec.mont_scalar_np(scale_ab))
-        sigma_2 = dvec.scalar_to_int(dvec.sum_reduce(f_evals))
+        sigma_2 = dvec.limb_sums_to_int(
+            np.asarray(jax.device_get(dvec.sum_limbs_u64(f_evals)))
+        )
         f_d = dvec.ifft(f_evals, m)
         f0 = dvec.scalar_to_int(f_d[:, :1])
         ensure(
