@@ -538,32 +538,24 @@ def main() -> None:
         os.environ["SWTPU_BENCH_FORCE_CPU"] = "1"
         os.environ["SWTPU_ACCEL"] = "0"
         _run_host_fallback(extra)
+    # The marlin leg runs HOST-PINNED first: the prove number must land on
+    # the record even when the tunnel wedges mid-dispatch, and the
+    # device-resident prover's first prove in a fresh process re-traces /
+    # cache-loads tens of programs (~15+ min on the tunneled chip —
+    # docs/performance.md round 5) so it cannot fit a leg deadline.  A
+    # separate attempt leg below still tries it when the link is healthy;
+    # its committed steady-state evidence lives in BENCH_LOCAL.jsonl.
+    saved = os.environ.get("SWTPU_ACCEL")
+    os.environ["SWTPU_DEVICE_PROVER"] = "0"
     result = run_leg("marlin", "bench_marlin_prove")
+    os.environ.pop("SWTPU_DEVICE_PROVER", None)
     if result is not None:
         extra.update(result)
-        extra["marlin_backend"] = "tpu-device" if device_ok else "cpu-host-path"
+        extra["marlin_backend"] = (
+            "host-path + device-routed kernels" if device_ok else "cpu-host-path"
+        )
     else:
-        # a tunnel that wedges MID-prove hangs the leg past its deadline;
-        # rerun host-pinned so the record always carries a real prove
-        # number instead of marlin_leg_failed
-        extra["marlin_device_leg_failed"] = True
-        saved = os.environ.get("SWTPU_ACCEL")
-        os.environ["SWTPU_ACCEL"] = "0"
-        os.environ["SWTPU_BENCH_FORCE_CPU"] = "1"
-        try:
-            result = run_leg("marlin_host", "bench_marlin_prove")
-        finally:
-            if saved is None:
-                os.environ.pop("SWTPU_ACCEL", None)
-            else:
-                os.environ["SWTPU_ACCEL"] = saved
-            if device_ok:
-                os.environ.pop("SWTPU_BENCH_FORCE_CPU", None)
-        if result is not None:
-            extra.update(result)
-            extra["marlin_backend"] = "cpu-host-path (device leg wedged)"
-        else:
-            extra["marlin_leg_failed"] = True
+        extra["marlin_leg_failed"] = True
     emit()
     scaling = run_leg("scaling", "bench_scaling")
     if scaling:

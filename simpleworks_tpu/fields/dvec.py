@@ -212,21 +212,29 @@ def _addcarry_pair(x, y):
     return jnp.where((carry > 0) | (borrow == 0), d, r)
 
 
-def sum_limbs_u64(a):
-    """Σ over the batch axis as RAW u64 per-limb sums -> [16] u64, ONE
-    device op (no modular tree: 16-bit limb values summed over n ≤ 2^44
-    elements stay < 2^60).  Pair with :func:`limb_sums_to_int` on the
-    host — on a high-latency link this replaces ~20 halving dispatches
-    per reduction with one."""
-    return jnp.sum(a.astype(jnp.uint64), axis=1)
+_SUM_CHUNK = 4096  # 4096 · (2^16 − 1) < 2^28: u32-safe partial sums
+
+
+def sum_limbs_raw(a):
+    """Σ over the batch axis as RAW per-limb partial sums -> [16, K] u32,
+    ONE device op.  Chunked so partials stay < 2^28 (jax runs in 32-bit
+    mode by default — a u64 jnp.sum silently wraps at 2^32, which passed
+    small-circuit tests and corrupted σ₂ at m = 2^18).  Pair with
+    :func:`limb_sums_to_int`: the tiny [16, K] fetch replaces ~20 halving
+    dispatches per reduction."""
+    n = a.shape[1]
+    k = -(-max(n, 1) // _SUM_CHUNK)
+    padded = pad_to(a, k * _SUM_CHUNK).reshape(L, k, _SUM_CHUNK)
+    return jnp.sum(padded, axis=2, dtype=jnp.uint32)
 
 
 def limb_sums_to_int(sums: np.ndarray) -> int:
-    """[16] u64 raw limb sums -> standard-form int of the Montgomery sum
-    (host-side carry fold + one Montgomery correction)."""
+    """[16, K] u32 raw partial limb sums -> standard-form int of the
+    Montgomery sum (host-side exact fold + one Montgomery correction)."""
+    arr = np.asarray(sums, dtype=np.uint64)
     m = 0
     for t in range(L - 1, -1, -1):
-        m = (m << 16) + int(sums[t])
+        m = (m << 16) + int(arr[t].sum())
     return m % P * pow(Fr.PARAMS.montgomery_r, -1, P) % P
 
 

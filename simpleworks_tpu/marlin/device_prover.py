@@ -145,16 +145,16 @@ def _combine_fn(widths: tuple, maxw: int):
 @lru_cache(maxsize=16)
 def _eval_many_fn(widths: tuple, maxw: int):
     """One jitted program evaluating every poly: per-poly multiply by the
-    shared powers table + a raw-u64 limb sum (no modular tree) — ONE
+    shared powers table + chunked raw limb sums (no modular tree) — ONE
     dispatch + ONE fetch instead of ~20 dispatches per polynomial, which
     cost ~90 ms each through the tunnel (39 s of a 103 s prove)."""
 
     def run(pw, *arrs):
         sums = [
-            dvec.sum_limbs_u64(dvec.mul(dvec.pad_to(a, maxw), pw))
+            dvec.sum_limbs_raw(dvec.mul(dvec.pad_to(a, maxw), pw))
             for a in arrs
         ]
-        return jnp.stack(sums)  # [k, 16] u64
+        return jnp.stack(sums)  # [k, 16, K] u32 partial sums
 
     return jax.jit(run)
 
@@ -411,7 +411,7 @@ def prove_device(pk, cs, rng):
             )
         f_evals = dvec.scale(f_evals, dvec.mont_scalar_np(scale_ab))
         sigma_2 = dvec.limb_sums_to_int(
-            np.asarray(jax.device_get(dvec.sum_limbs_u64(f_evals)))
+            np.asarray(jax.device_get(dvec.sum_limbs_raw(f_evals)))
         )
         f_d = dvec.ifft(f_evals, m)
         f0 = dvec.scalar_to_int(f_d[:, :1])

@@ -94,3 +94,13 @@ def test_fft_ifft_matches_domain(n):
         dvec.to_frvec(dvec.fft(dvec.from_frvec(short), n)).to_ints()
         == dom.fft_vec(short).to_ints()
     )
+
+
+def test_sum_limbs_raw_large_no_overflow():
+    """Chunked raw limb sums stay exact at widths where a u32 (or silently
+    downcast u64) accumulator would wrap — the σ₂-corruption regression
+    caught at m = 2^18 on the real prover."""
+    n = 1 << 15
+    a = FrVec.from_ints([P - 1 - i for i in range(n)])
+    raw = np.asarray(dvec.sum_limbs_raw(dvec.from_frvec(a)))
+    assert dvec.limb_sums_to_int(raw) == a.sum()
