@@ -360,13 +360,16 @@ def _ntt(on_tpu: bool, n: int):
         from ..ops.ntt_mxu import get_mxu_ntt
 
         ntt = get_mxu_ntt(n)
-        return ntt.fft_mont, ntt.ifft_mont
+        # whole-transform jit: the eager 4-step chain dispatches ~12
+        # device programs per transform — ~1 s of pure latency on the
+        # tunneled attachment; as one program it is a single dispatch
+        return jax.jit(ntt.fft_mont), jax.jit(ntt.ifft_mont)
     from ..poly.ntt_device import get_device_ntt
 
     ntt = get_device_ntt(n)
     return (
-        lambda x: ntt.fft_mont(x.T.astype(jnp.uint32)).T,
-        lambda x: ntt.ifft_mont(x.T.astype(jnp.uint32)).T,
+        jax.jit(lambda x: ntt.fft_mont(x.T.astype(jnp.uint32)).T),
+        jax.jit(lambda x: ntt.ifft_mont(x.T.astype(jnp.uint32)).T),
     )
 
 
