@@ -561,7 +561,6 @@ def main() -> None:
     # docs/performance.md round 5) so it cannot fit a leg deadline.  A
     # separate attempt leg below still tries it when the link is healthy;
     # its committed steady-state evidence lives in BENCH_LOCAL.jsonl.
-    saved = os.environ.get("SWTPU_ACCEL")
     os.environ["SWTPU_DEVICE_PROVER"] = "0"
     result = run_leg("marlin", "bench_marlin_prove")
     os.environ.pop("SWTPU_DEVICE_PROVER", None)
